@@ -1,0 +1,88 @@
+"""Limb representation shared by host and device code.
+
+TPU design note: the TPU has no native 64-bit integer multiply, so device
+field elements are vectors of 16-bit limbs held in uint32 lanes — products of
+two limbs fit exactly in uint32, and column sums of the schoolbook
+convolution stay far below 2^32 (see ops/fp_jax.py). 377-bit fields use 24
+limbs, 753/761-bit fields use 48.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+@dataclass(frozen=True)
+class LimbSpec:
+    """Static limb geometry for a modulus."""
+
+    modulus: int
+
+    @property
+    def n_limbs(self) -> int:
+        # round up to a multiple of 8 limbs (=128 bits) for TPU lane alignment
+        raw = -(-self.modulus.bit_length() // LIMB_BITS)
+        return -(-raw // 8) * 8
+
+    @property
+    def total_bits(self) -> int:
+        return self.n_limbs * LIMB_BITS
+
+    @property
+    def mont_r(self) -> int:
+        """Device Montgomery radix R = 2^(16*n_limbs)."""
+        return pow(2, self.total_bits, self.modulus)
+
+    @property
+    def mont_r2(self) -> int:
+        return pow(2, 2 * self.total_bits, self.modulus)
+
+    @property
+    def n0_inv(self) -> int:
+        """-modulus^{-1} mod 2^total_bits (for Montgomery reduction)."""
+        return (-pow(self.modulus, -1, 1 << self.total_bits)) % (1 << self.total_bits)
+
+
+def int_to_limbs(v: int, n_limbs: int) -> np.ndarray:
+    """Little-endian 16-bit limbs as uint32."""
+    out = np.empty(n_limbs, dtype=np.uint32)
+    for i in range(n_limbs):
+        out[i] = v & LIMB_MASK
+        v >>= LIMB_BITS
+    assert v == 0, "value too large for limb count"
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    v = 0
+    for i, l in enumerate(np.asarray(limbs, dtype=np.uint64).tolist()):
+        v |= int(l) << (LIMB_BITS * i)
+    return v
+
+
+def ints_to_limbs_batch(vals, n_limbs: int) -> np.ndarray:
+    """(batch,) python ints -> (batch, n_limbs) uint32."""
+    out = np.empty((len(vals), n_limbs), dtype=np.uint32)
+    for j, v in enumerate(vals):
+        for i in range(n_limbs):
+            out[j, i] = v & LIMB_MASK
+            v >>= LIMB_BITS
+        assert v == 0
+    return out
+
+
+def limbs_batch_to_ints(arr) -> list[int]:
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, arr.shape[-1])
+    out = []
+    for row in flat:
+        v = 0
+        for i in range(arr.shape[-1] - 1, -1, -1):
+            v = (v << LIMB_BITS) | int(row[i])
+        out.append(v)
+    return out
