@@ -1,0 +1,293 @@
+"""Batched elliptic-curve group law on device — complete projective formulas.
+
+TPU-first choices:
+- Renes–Costello–Batina *complete* addition formulas (eprint 2015/1060,
+  Algorithm 1): branch-free, handle doubling and infinity uniformly — ideal
+  for XLA/TPU where data-dependent control flow is poison. Infinity is
+  (0 : 1 : 0).
+- Scalar multiplication is a `lax.scan` over scalar bits with constant-time
+  selects (also good hygiene for a ceremony tool: no secret-dependent
+  control flow), replacing the reference's per-element `mul_bigint` hot loop
+  (batch_exp, setup-utils/src/helpers.rs:75-140).
+- MSM is bucket-free tree reduction for now (Pippenger with psum-reduced
+  buckets lands in the sharded path).
+
+Coordinates are field elements of a `field_ops` (Fp, Fp2 or Fp3 limb
+vectors), so the same code drives G1 and G2 on all five curves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.constants import CurveSpec, get_curve
+from ..curves.host import AffinePoint, INFINITY, g1_curve, g2_curve
+from ..fields.limb import LIMB_BITS
+from .ext_jax import make_field_ops
+from .fp_jax import FpOps, fp_ops
+
+
+class PointVec(dict):
+    """Batched projective points: {'x','y','z'} arrays."""
+
+    @property
+    def x(self):
+        return self["x"]
+
+    @property
+    def y(self):
+        return self["y"]
+
+    @property
+    def z(self):
+        return self["z"]
+
+
+jax.tree_util.register_pytree_node(
+    PointVec,
+    lambda p: ((p["x"], p["y"], p["z"]), None),
+    lambda _, xs: PointVec(x=xs[0], y=xs[1], z=xs[2]),
+)
+
+
+class CurveOps:
+    """Group-law kernels for one source group of one curve."""
+
+    def __init__(self, spec: CurveSpec, group: str):
+        self.spec = spec
+        self.group_name = group
+        gspec = spec.g1 if group == "g1" else spec.g2
+        self.gspec = gspec
+        self.fq = fp_ops(spec.q)
+        degree = {"fp": 1, "fp2": 2, "fp3": 3}[gspec.field_kind]
+        self.field = make_field_ops(self.fq, degree, spec.ext_nonresidue)
+        self.host_curve = g1_curve(spec) if group == "g1" else g2_curve(spec)
+        # device curve constants (Montgomery form)
+        a_host = gspec.a if degree > 1 else (gspec.a[0],)
+        b_host = gspec.b if degree > 1 else (gspec.b[0],)
+        self.a_is_zero = all(v == 0 for v in a_host)
+        self.a_dev = self.field.from_coeffs([tuple(a_host)])[0]
+        b3 = tuple(3 * v % spec.q for v in b_host)
+        self.b3_dev = self.field.from_coeffs([b3])[0]
+        # scalar field
+        self.fr = fp_ops(spec.r)
+        self.scalar_bits = spec.r.bit_length()
+
+    # -- constructors ------------------------------------------------------
+    def infinity(self, shape=()) -> PointVec:
+        return PointVec(
+            x=self.field.zeros(shape),
+            y=self.field.ones(shape),
+            z=self.field.zeros(shape),
+        )
+
+    def from_affine_host(self, points: list[AffinePoint]) -> PointVec:
+        """Host affine points -> device projective batch."""
+        deg = self.field.degree
+
+        def coords(p):
+            if p.is_infinity:
+                return (0,) * deg, (1,) * 1 + (0,) * (deg - 1), True
+            if deg == 1:
+                return (p.x.v,), (p.y.v,), False
+            return (
+                tuple(c.v for c in p.x.coeffs),
+                tuple(c.v for c in p.y.coeffs),
+                False,
+            )
+
+        xs, ys, infs = [], [], []
+        for p in points:
+            cx, cy, inf = coords(p)
+            xs.append(cx)
+            ys.append(cy)
+            infs.append(inf)
+        x = self.field.from_coeffs(xs)
+        y = self.field.from_coeffs(ys)
+        inf_mask = jnp.asarray(np.array(infs, bool))
+        one = self.field.ones((len(points),))
+        zero = self.field.zeros((len(points),))
+        z = self.field.select(inf_mask, zero, one)
+        x = self.field.select(inf_mask, zero, x)
+        y = self.field.select(inf_mask, one, y)
+        return PointVec(x=x, y=y, z=z)
+
+    def to_affine_host(self, p: PointVec) -> list[AffinePoint]:
+        """Device batch -> host affine points (batch-inverts Z)."""
+        x, y, inf = self.normalize(p)
+        coeffs_x = self.field.to_coeffs(x)
+        coeffs_y = self.field.to_coeffs(y)
+        infs = np.asarray(inf)
+        out = []
+        for cx, cy, isinf in zip(coeffs_x, coeffs_y, infs.reshape(-1)):
+            if isinf:
+                out.append(INFINITY)
+                continue
+            if self.field.degree == 1:
+                out.append(AffinePoint(self.spec.fp(cx[0]), self.spec.fp(cy[0])))
+            else:
+                out.append(
+                    AffinePoint(self.spec.g2_field(cx), self.spec.g2_field(cy))
+                )
+        return out
+
+    # -- group law ---------------------------------------------------------
+    def add(self, p: PointVec, q: PointVec) -> PointVec:
+        """RCB complete addition (Algorithm 1; a=0 fast path = Algorithm 7)."""
+        F = self.field
+        X1, Y1, Z1 = p["x"], p["y"], p["z"]
+        X2, Y2, Z2 = q["x"], q["y"], q["z"]
+        b3 = self.b3_dev
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t2 = F.mul(Z1, Z2)
+        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+        t4 = F.sub(t4, F.add(t0, t2))  # X1Z2 + X2Z1
+        t5 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+        t5 = F.sub(t5, F.add(t1, t2))  # Y1Z2 + Y2Z1
+        if self.a_is_zero:
+            Z3_ = F.mul(b3, t2)
+            X3_ = F.sub(t1, Z3_)
+            Z3_ = F.add(t1, Z3_)
+            Y3 = F.mul(X3_, Z3_)
+            t1n = F.add(F.add(t0, t0), t0)  # 3 X1X2
+            t4b = F.mul(b3, t4)
+            Y3 = F.add(Y3, F.mul(t1n, t4b))
+            X3 = F.sub(F.mul(t3, X3_), F.mul(t5, t4b))
+            Z3 = F.add(F.mul(t5, Z3_), F.mul(t3, t1n))
+        else:
+            a = self.a_dev
+            Z3_ = F.add(F.mul(a, t4), F.mul(b3, t2))  # a t4 + 3b Z1Z2
+            X3_ = F.sub(t1, Z3_)
+            Z3_ = F.add(t1, Z3_)
+            Y3 = F.mul(X3_, Z3_)
+            t1n = F.add(F.add(t0, t0), t0)
+            at2 = F.mul(a, t2)
+            t1n = F.add(t1n, at2)  # 3X1X2 + a Z1Z2
+            t2n = F.mul(a, F.sub(t0, at2))  # a (X1X2 - a Z1Z2)
+            t4n = F.add(F.mul(b3, t4), t2n)  # 3b t4 + a(X1X2 - aZ1Z2)
+            Y3 = F.add(Y3, F.mul(t1n, t4n))
+            X3 = F.sub(F.mul(t3, X3_), F.mul(t5, t4n))
+            Z3 = F.add(F.mul(t5, Z3_), F.mul(t3, t1n))
+        return PointVec(x=X3, y=Y3, z=Z3)
+
+    def double(self, p: PointVec) -> PointVec:
+        return self.add(p, p)
+
+    def neg(self, p: PointVec) -> PointVec:
+        return PointVec(x=p["x"], y=self.field.neg(p["y"]), z=p["z"])
+
+    def select(self, cond, p: PointVec, q: PointVec) -> PointVec:
+        F = self.field
+        return PointVec(
+            x=F.select(cond, p["x"], q["x"]),
+            y=F.select(cond, p["y"], q["y"]),
+            z=F.select(cond, p["z"], q["z"]),
+        )
+
+    def is_infinity(self, p: PointVec):
+        return self.field.is_zero(p["z"])
+
+    # -- scalar multiplication --------------------------------------------
+    def scalar_bits_msb(self, scalars_raw: jnp.ndarray) -> jnp.ndarray:
+        """(..., Ls) raw 16-bit limb scalars -> (nbits, ...) bit planes,
+        MSB first."""
+        shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
+        bits = (scalars_raw[..., :, None] >> shifts) & jnp.uint32(1)
+        nb = bits.shape[-2] * LIMB_BITS
+        bits = bits.reshape(*bits.shape[:-2], nb)  # LSB first
+        bits = bits[..., : self.scalar_bits]
+        bits = jnp.flip(bits, axis=-1)  # MSB first
+        return jnp.moveaxis(bits, -1, 0).astype(bool)
+
+    def scalar_mul(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
+        """Batched double-and-add over scalar bits (constant-time selects).
+
+        scalars_raw: (...,) batch of Fr values as raw 16-bit limb arrays
+        (..., Ls) in standard (non-Montgomery) form.
+        """
+        bits = self.scalar_bits_msb(scalars_raw)
+        batch_shape = scalars_raw.shape[:-1]
+        acc0 = self.infinity(batch_shape)
+
+        def step(acc, bit):
+            acc = self.add(acc, acc)
+            added = self.add(acc, p)
+            return self.select(bit, added, acc), None
+
+        acc, _ = jax.lax.scan(step, acc0, bits)
+        return acc
+
+    # -- normalization -----------------------------------------------------
+    def normalize(self, p: PointVec):
+        """Projective -> affine using one batched inversion over the leading
+        axes. Returns (x, y, infinity_mask)."""
+        F = self.field
+        z = p["z"]
+        batch_shape = z.shape[: -1 if F.degree == 1 else -2]
+        flat = lambda arr: arr.reshape((-1, *arr.shape[len(batch_shape) :]))
+        zf = flat(z)
+        if zf.shape[0] == 0:
+            inv_z = zf
+        else:
+            inv_z = _generic_batch_inv(F, zf)
+        inv_z = inv_z.reshape(z.shape)
+        x = F.mul(p["x"], inv_z)
+        y = F.mul(p["y"], inv_z)
+        return x, y, self.is_infinity(p)
+
+    # -- reductions --------------------------------------------------------
+    def sum_reduce(self, p: PointVec) -> PointVec:
+        """Tree-reduce a batch of points (leading axis) to a single point."""
+        n = p["x"].shape[0]
+        while n > 1:
+            half = n // 2
+            even = jax.tree_util.tree_map(lambda a: a[: 2 * half : 2], p)
+            odd = jax.tree_util.tree_map(lambda a: a[1 : 2 * half : 2], p)
+            merged = self.add(PointVec(even), PointVec(odd))
+            if n % 2:
+                tail = jax.tree_util.tree_map(lambda a: a[-1:], p)
+                merged = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], 0), merged, PointVec(tail)
+                )
+            p = PointVec(merged)
+            n = half + (n % 2)
+        return p
+
+    def msm(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
+        """Multi-scalar multiplication: batched scalar-mul + tree reduction.
+
+        Replaces msm_bigint inside merge_pairs (helpers.rs:371-384)."""
+        prods = self.scalar_mul(p, scalars_raw)
+        return self.sum_reduce(prods)
+
+
+def _generic_batch_inv(F, a):
+    """Montgomery-trick batch inversion at the extension-field level:
+    prefix/suffix products via associative scans + one Fermat inversion."""
+    is_zero = F.is_zero(a)
+    n = a.shape[0]
+    safe = F.select(is_zero, F.ones((n,)), a)
+
+    def combine(x, y):
+        return F.mul(x, y)
+
+    pre = jax.lax.associative_scan(combine, safe, axis=0)
+    suf = jax.lax.associative_scan(combine, safe, axis=0, reverse=True)
+    inv_total = F.inv(pre[-1:])
+    ones1 = F.ones((1,))
+    pre_excl = jnp.concatenate([ones1, pre[:-1]], axis=0)
+    suf_excl = jnp.concatenate([suf[1:], ones1], axis=0)
+    out = F.mul(F.mul(pre_excl, suf_excl), jnp.broadcast_to(inv_total, a.shape))
+    return F.select(is_zero, F.zeros((n,)), out)
+
+
+@functools.lru_cache(maxsize=None)
+def curve_ops(curve_name: str, group: str) -> CurveOps:
+    return CurveOps(get_curve(curve_name), group)

@@ -1,0 +1,233 @@
+"""Extension-field ops on device (Fp2 / Fp3 towers over FpOps limb vectors).
+
+Element layout: (..., d, L) uint32 Montgomery limbs, d = extension degree.
+A uniform protocol (mul/add/sub/neg/sqr/inv/select/...) lets the curve group
+law (curve_jax.py) be generic over Fp, Fp2 and Fp3 coordinates — one set of
+complete-formula kernels serves G1 and G2 of all five curves.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .fp_jax import FpOps
+
+
+def _nr_mul(fp: FpOps, a, nr: int):
+    """Multiply by the (small, possibly negative) tower non-residue."""
+    out = fp.mul_small(a, abs(nr))
+    if nr < 0:
+        out = fp.neg(out)
+    return out
+
+
+class BaseFieldOps:
+    """Degree-1 'extension': direct passthrough to FpOps; layout (..., L)."""
+
+    degree = 1
+
+    def __init__(self, fp: FpOps):
+        self.fp = fp
+
+    def zeros(self, shape=()):
+        return self.fp.zeros(shape)
+
+    def ones(self, shape=()):
+        return self.fp.ones(shape)
+
+    def add(self, a, b):
+        return self.fp.add(a, b)
+
+    def sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def neg(self, a):
+        return self.fp.neg(a)
+
+    def mul(self, a, b):
+        return self.fp.mont_mul(a, b)
+
+    def sqr(self, a):
+        return self.fp.mont_sqr(a)
+
+    def mul_small(self, a, k):
+        return self.fp.mul_small(a, k)
+
+    def inv(self, a):
+        return self.fp.inv(a)
+
+    def is_zero(self, a):
+        return self.fp.is_zero(a)
+
+    def eq(self, a, b):
+        return self.fp.eq(a, b)
+
+    def select(self, cond, a, b):
+        return self.fp.select(cond, a, b)
+
+    def from_coeffs(self, host_vals, shape=None):
+        """host_vals: list of int tuples of length 1 (or plain ints)."""
+        vals = [v[0] if isinstance(v, (tuple, list)) else v for v in host_vals]
+        return self.fp.from_int(vals)
+
+    def to_coeffs(self, a):
+        return [(v,) for v in self.fp.to_int(a)]
+
+
+class QuadFieldOps:
+    """Fp2 = Fp[u]/(u^2 - nr); layout (..., 2, L)."""
+
+    degree = 2
+
+    def __init__(self, fp: FpOps, nonresidue: int):
+        self.fp = fp
+        self.nr = nonresidue if nonresidue <= fp.modulus // 2 else nonresidue - fp.modulus
+
+    def zeros(self, shape=()):
+        return self.fp.zeros((*shape, 2))
+
+    def ones(self, shape=()):
+        z = self.zeros(shape)
+        return z.at[..., 0, :].set(self.fp.ones(shape))
+
+    def add(self, a, b):
+        return self.fp.add(a, b)
+
+    def sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def neg(self, a):
+        return self.fp.neg(a)
+
+    def mul(self, a, b):
+        fp = self.fp
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        v0 = fp.mont_mul(a0, b0)
+        v1 = fp.mont_mul(a1, b1)
+        c0 = fp.add(v0, _nr_mul(fp, v1, self.nr))
+        c1 = fp.sub(fp.sub(fp.mont_mul(fp.add(a0, a1), fp.add(b0, b1)), v0), v1)
+        return jnp.stack([c0, c1], axis=-2)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_small(self, a, k):
+        return self.fp.mul_small(a, k)
+
+    def inv(self, a):
+        fp = self.fp
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        norm = fp.sub(fp.mont_sqr(a0), _nr_mul(fp, fp.mont_sqr(a1), self.nr))
+        ninv = fp.inv(norm)
+        return jnp.stack([fp.mont_mul(a0, ninv), fp.neg(fp.mont_mul(a1, ninv))], axis=-2)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=(-1, -2))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[..., None, None], a, b)
+
+    def from_coeffs(self, host_vals, shape=None):
+        c0 = self.fp.from_int([v[0] for v in host_vals])
+        c1 = self.fp.from_int([v[1] for v in host_vals])
+        return jnp.stack([c0, c1], axis=-2)
+
+    def to_coeffs(self, a):
+        c0 = self.fp.to_int(a[..., 0, :])
+        c1 = self.fp.to_int(a[..., 1, :])
+        return list(zip(c0, c1))
+
+
+class CubicFieldOps:
+    """Fp3 = Fp[u]/(u^3 - nr); layout (..., 3, L)."""
+
+    degree = 3
+
+    def __init__(self, fp: FpOps, nonresidue: int):
+        self.fp = fp
+        self.nr = nonresidue if nonresidue <= fp.modulus // 2 else nonresidue - fp.modulus
+
+    def zeros(self, shape=()):
+        return self.fp.zeros((*shape, 3))
+
+    def ones(self, shape=()):
+        z = self.zeros(shape)
+        return z.at[..., 0, :].set(self.fp.ones(shape))
+
+    def add(self, a, b):
+        return self.fp.add(a, b)
+
+    def sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def neg(self, a):
+        return self.fp.neg(a)
+
+    def mul(self, a, b):
+        fp = self.fp
+        a0, a1, a2 = (a[..., i, :] for i in range(3))
+        b0, b1, b2 = (b[..., i, :] for i in range(3))
+        v0 = fp.mont_mul(a0, b0)
+        v1 = fp.mont_mul(a1, b1)
+        v2 = fp.mont_mul(a2, b2)
+        t0 = fp.sub(fp.sub(fp.mont_mul(fp.add(a1, a2), fp.add(b1, b2)), v1), v2)
+        c0 = fp.add(v0, _nr_mul(fp, t0, self.nr))
+        t1 = fp.sub(fp.sub(fp.mont_mul(fp.add(a0, a1), fp.add(b0, b1)), v0), v1)
+        c1 = fp.add(t1, _nr_mul(fp, v2, self.nr))
+        t2 = fp.sub(fp.sub(fp.mont_mul(fp.add(a0, a2), fp.add(b0, b2)), v0), v2)
+        c2 = fp.add(t2, v1)
+        return jnp.stack([c0, c1, c2], axis=-2)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_small(self, a, k):
+        return self.fp.mul_small(a, k)
+
+    def inv(self, a):
+        fp = self.fp
+        a0, a1, a2 = (a[..., i, :] for i in range(3))
+        nrm = lambda x: _nr_mul(fp, x, self.nr)
+        t0 = fp.sub(fp.mont_sqr(a0), nrm(fp.mont_mul(a1, a2)))
+        t1 = fp.sub(nrm(fp.mont_sqr(a2)), fp.mont_mul(a0, a1))
+        t2 = fp.sub(fp.mont_sqr(a1), fp.mont_mul(a0, a2))
+        norm = fp.add(
+            fp.mont_mul(a0, t0),
+            nrm(fp.add(fp.mont_mul(a2, t1), fp.mont_mul(a1, t2))),
+        )
+        ninv = fp.inv(norm)
+        return jnp.stack(
+            [fp.mont_mul(t0, ninv), fp.mont_mul(t1, ninv), fp.mont_mul(t2, ninv)],
+            axis=-2,
+        )
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=(-1, -2))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[..., None, None], a, b)
+
+    def from_coeffs(self, host_vals, shape=None):
+        cs = [self.fp.from_int([v[i] for v in host_vals]) for i in range(3)]
+        return jnp.stack(cs, axis=-2)
+
+    def to_coeffs(self, a):
+        cs = [self.fp.to_int(a[..., i, :]) for i in range(3)]
+        return list(zip(*cs))
+
+
+def make_field_ops(fp: FpOps, degree: int, nonresidue: int = 0):
+    if degree == 1:
+        return BaseFieldOps(fp)
+    if degree == 2:
+        return QuadFieldOps(fp, nonresidue)
+    if degree == 3:
+        return CubicFieldOps(fp, nonresidue)
+    raise ValueError(degree)
