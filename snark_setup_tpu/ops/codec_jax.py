@@ -1,0 +1,448 @@
+"""Batched on-device point (de)serialization — the TPU replacement for the
+reference's BatchDeserializer/BatchSerializer (C17, setup-utils/src/io/).
+
+Byte<->limb packing is vectorized numpy on the host (pure data movement);
+the expensive parts — modular sqrt for decompression, on-curve and subgroup
+checks, batch normalization — run on device over the whole batch.
+
+Wire format is the arkworks encoding (see serialize/arkworks.py): LE field
+bytes, flags in the top 2 bits of an element's final byte.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.limb import int_to_limbs
+from ..utils.enums import CheckForCorrectness, SubgroupCheckMode, UseCompression
+from ..utils.errors import (
+    IncorrectSubgroupError,
+    PointAtInfinityError,
+    SerializationError,
+)
+from .curve_jax import CurveOps, PointVec
+from .ext_jax import BaseFieldOps
+
+FLAG_Y_NEG = 1 << 7
+FLAG_INFINITY = 1 << 6
+FLAG_MASK = FLAG_Y_NEG | FLAG_INFINITY
+
+
+def ext_pow_const(F, a, e: int):
+    """a^e in an ext-field ops object, lax.scan over host-known bits."""
+    if e == 0:
+        return jnp.broadcast_to(F.ones(), a.shape)
+    bits = np.array([int(b) for b in bin(e)[3:]], np.bool_)
+
+    def step(acc, bit):
+        acc = F.mul(acc, acc)
+        cond = jnp.broadcast_to(bit, _batch_shape(F, acc))
+        return F.select(cond, F.mul(acc, a), acc), None
+
+    acc, _ = jax.lax.scan(step, a, jnp.asarray(bits))
+    return acc
+
+
+def _batch_shape(F, arr):
+    return arr.shape[: -1 if F.degree == 1 else -2]
+
+
+class ExtSqrt:
+    """Generic branchless Tonelli–Shanks over Fp / Fp2 / Fp3 on device."""
+
+    def __init__(self, F, q: int):
+        self.F = F
+        self.q = q
+        d = F.degree
+        self.group_order = q**d - 1
+        s, e = self.group_order, 0
+        while s % 2 == 0:
+            s //= 2
+            e += 1
+        self.e, self.s = e, s
+        # find a non-residue in the extension (host search, fixed seed)
+        self._find_nonresidue()
+
+    def _find_nonresidue(self):
+        import random
+
+        from ..curves.constants import get_curve
+
+        rng = random.Random(99)
+        q, d = self.q, self.F.degree
+        half = self.group_order // 2
+        while True:
+            coeffs = tuple(rng.randrange(q) for _ in range(d))
+            # host check via pow in the extension using device ops would be
+            # slow; use python modular arithmetic through simple poly pow
+            if _host_ext_pow(coeffs, half, q, d, self._nr_int()) != _host_ext_one(d):
+                self.z_coeffs = coeffs
+                break
+
+    def _nr_int(self):
+        return getattr(self.F, "nr", 0)
+
+    def c_init(self):
+        c0 = _host_ext_pow(self.z_coeffs, self.s, self.q, self.F.degree, self._nr_int())
+        return self.F.from_coeffs([c0])[0]
+
+    def sqrt(self, a):
+        """(root, is_square mask). Branchless Tonelli–Shanks: lax.scan over
+        the e-1 outer iterations, fori_loop for the inner repeated squarings,
+        so the compiled graph is O(1) field-muls regardless of 2-adicity."""
+        F = self.F
+        if self.e == 1:
+            r = ext_pow_const(F, a, (self.group_order + 2) // 4)
+            # (q^d+1)/4 exponent: r^2 == a iff QR
+            ok = F.eq(F.mul(r, r), a) | F.is_zero(a)
+            return r, ok
+        w = ext_pow_const(F, a, (self.s - 1) // 2)
+        r = F.mul(a, w)
+        t = F.mul(r, w)
+        c = jnp.broadcast_to(self.c_init(), a.shape)
+        one = F.ones(_batch_shape(F, a))
+
+        def outer(carry, i):
+            r, t, c = carry
+            b = jax.lax.fori_loop(0, i - 2, lambda _, x: F.mul(x, x), t)
+            flip = ~F.eq(b, one)
+            r = F.select(flip, F.mul(r, c), r)
+            c2 = F.mul(c, c)
+            t = F.select(flip, F.mul(t, c2), t)
+            return (r, t, c2), None
+
+        (r, t, c), _ = jax.lax.scan(
+            outer, (r, t, c), jnp.arange(self.e, 1, -1)
+        )
+        ok = F.eq(F.mul(r, r), a) | F.is_zero(a)
+        return r, ok
+
+
+def _host_ext_pow(coeffs, e, q, d, nr):
+    """Host-side extension pow for constant setup (binomial x^d - nr)."""
+    nr %= q
+
+    def mul(a, b):
+        res = [0] * (2 * d - 1)
+        for i in range(d):
+            for j in range(d):
+                res[i + j] = (res[i + j] + a[i] * b[j]) % q
+        for k in range(2 * d - 2, d - 1, -1):
+            res[k - d] = (res[k - d] + res[k] * nr) % q
+        return tuple(res[:d])
+
+    result = _host_ext_one(d)
+    base = tuple(c % q for c in coeffs)
+    while e > 0:
+        if e & 1:
+            result = mul(result, base)
+        base = mul(base, base)
+        e >>= 1
+    return result
+
+
+def _host_ext_one(d):
+    return tuple([1] + [0] * (d - 1))
+
+
+class BatchPointCodec:
+    """Vectorized device codec for one source group."""
+
+    def __init__(self, ops: CurveOps):
+        self.ops = ops
+        self.F = ops.field
+        self.fp = ops.fq
+        self.spec = ops.spec
+        self.deg = self.F.degree
+        self.fp_bytes = ops.spec.fp_bytes
+        self.compressed_size = self.deg * self.fp_bytes
+        self.uncompressed_size = 2 * self.compressed_size
+        self.sqrter = ExtSqrt(self.F, ops.spec.q)
+        # (p+1)/2 limbs for the lexicographic y comparison
+        self._half = jnp.asarray(int_to_limbs((self.spec.q + 1) // 2, self.fp.L))
+        # jitted device paths (cached per batch shape by jax)
+        self._read_comp_jit = jax.jit(self._read_compressed_device)
+        self._read_unc_jit = jax.jit(self._read_uncompressed_device)
+        self._write_jit = jax.jit(self._write_device)
+        self._write_norm_jit = jax.jit(functools.partial(self._write_device, normalized=True))
+        self._oncurve_jit = jax.jit(self.on_curve_mask)
+        self._subgroup_jit = jax.jit(self.subgroup_mask_direct)
+
+    def size(self, compression: UseCompression) -> int:
+        return (
+            self.compressed_size
+            if compression is UseCompression.YES
+            else self.uncompressed_size
+        )
+
+    # -- numpy byte <-> raw (standard form) limb planes -------------------
+    def _bytes_to_fp_limbs(self, buf: np.ndarray) -> np.ndarray:
+        """(B, fp_bytes) uint8 -> (B, L) uint32 (standard form, unmasked)."""
+        B = buf.shape[0]
+        want = 2 * self.fp.L
+        padded = np.zeros((B, want), np.uint8)
+        padded[:, : self.fp_bytes] = buf
+        u16 = padded.view("<u2")
+        return u16.astype(np.uint32)
+
+    def _fp_limbs_to_bytes(self, limbs: np.ndarray) -> np.ndarray:
+        u16 = np.asarray(limbs, np.uint32).astype("<u2")
+        raw = u16.view(np.uint8)
+        return raw[:, : self.fp_bytes]
+
+    def _parse_coord(self, buf: np.ndarray, mask_flags: bool):
+        """(B, deg*fp_bytes) -> (raw limb array (B[,deg],L), flags (B,))."""
+        B = buf.shape[0]
+        flags = (buf[:, -1] & FLAG_MASK).copy()
+        work = buf.copy()
+        if mask_flags:
+            work[:, -1] &= ~FLAG_MASK & 0xFF
+        planes = [
+            self._bytes_to_fp_limbs(work[:, i * self.fp_bytes : (i + 1) * self.fp_bytes])
+            for i in range(self.deg)
+        ]
+        if self.deg == 1:
+            return planes[0], flags
+        return np.stack(planes, axis=1), flags
+
+    def _range_check(self, raw: np.ndarray) -> np.ndarray:
+        """True where every coefficient < q (vectorized big-int compare)."""
+        n_limbs = np.asarray(int_to_limbs(self.spec.q, self.fp.L))
+        flat = raw.reshape(-1, self.fp.L)
+        # lexicographic compare from the top limb
+        lt = np.zeros(flat.shape[0], bool)
+        decided = np.zeros(flat.shape[0], bool)
+        for k in range(self.fp.L - 1, -1, -1):
+            less = flat[:, k] < n_limbs[k]
+            more = flat[:, k] > n_limbs[k]
+            lt |= (~decided) & less
+            decided |= less | more
+        ok = lt  # equal -> not < q -> invalid
+        if self.deg == 1:
+            return ok
+        return ok.reshape(raw.shape[0], self.deg).all(axis=1)
+
+    # -- device form conversions ------------------------------------------
+    def _raw_to_mont(self, raw: np.ndarray):
+        dev = jnp.asarray(raw)
+        r2 = self.fp.R2
+        return self.fp.mont_mul(dev, r2)
+
+    def _mont_to_raw(self, mont) -> np.ndarray:
+        return np.asarray(self.fp.from_mont(mont))
+
+    # -- lexicographic y comparison ("is negative" flag) -------------------
+    def y_is_negative(self, y_mont):
+        """y > -y, comparing the highest ext coefficient first. Returns a
+        (B,) bool device array. Works on Montgomery inputs."""
+        from .fp_jax import _sub_with_borrow
+
+        y_std = self.fp.from_mont(y_mont)
+        if self.deg == 1:
+            coeffs = [y_std]
+        else:
+            coeffs = [y_std[..., i, :] for i in range(self.deg)]
+        neg = [
+            jnp.where(
+                jnp.all(c == 0, axis=-1)[..., None],
+                c,
+                _sub_with_borrow(jnp.broadcast_to(self.fp.N, c.shape), c)[0],
+            )
+            for c in coeffs
+        ]
+        result = jnp.zeros(coeffs[0].shape[:-1], bool)
+        decided = jnp.zeros(coeffs[0].shape[:-1], bool)
+        for c, n in zip(reversed(coeffs), reversed(neg)):
+            # c > n  <=> n - c borrows
+            _, borrow_gt = _sub_with_borrow(n, c)
+            _, borrow_lt = _sub_with_borrow(c, n)
+            result = jnp.where(~decided & borrow_gt, True, result)
+            decided = decided | borrow_gt | borrow_lt
+        return result
+
+    # -- curve equation ----------------------------------------------------
+    def rhs(self, x):
+        """x^3 + a x + b in the coordinate field (device, Montgomery)."""
+        F = self.F
+        ops = self.ops
+        x3 = F.mul(F.mul(x, x), x)
+        if not ops.a_is_zero:
+            x3 = F.add(x3, F.mul(jnp.broadcast_to(ops.a_dev, x.shape), x))
+        return F.add(x3, jnp.broadcast_to(self._b_dev(), x.shape))
+
+    @functools.lru_cache(maxsize=1)
+    def _b_dev(self):
+        gspec = self.ops.gspec
+        b_host = gspec.b if self.deg > 1 else (gspec.b[0],)
+        return self.F.from_coeffs([tuple(b_host)])[0]
+
+    def on_curve_mask(self, p: PointVec):
+        """Affine (Z in {0,1}) points: y^2 == rhs(x) or infinity."""
+        F = self.F
+        ok = F.eq(F.mul(p["y"], p["y"]), self.rhs(p["x"]))
+        return ok | self.ops.is_infinity(p)
+
+    def subgroup_mask_direct(self, p: PointVec):
+        """r * P == O per element (Direct mode)."""
+        from ..fields.limb import int_to_limbs as i2l
+
+        B = _batch_shape(self.F, p["x"])
+        r_limbs = jnp.asarray(i2l(self.spec.r, self.ops.fr.L))
+        scalars = jnp.broadcast_to(r_limbs, (*B, self.ops.fr.L))
+        prod = self.ops.scalar_mul(p, scalars)
+        return self.ops.is_infinity(prod)
+
+    # -- public batch API --------------------------------------------------
+    def read_batch(
+        self,
+        data: bytes | np.ndarray,
+        compression: UseCompression,
+        check: CheckForCorrectness = CheckForCorrectness.NO,
+        subgroup_mode: SubgroupCheckMode = SubgroupCheckMode.AUTO,
+    ) -> PointVec:
+        """Parse a contiguous batch of points into device projective form
+        (Z=1, or Z=0 for infinity). Raises on malformed/invalid content
+        according to `check` (mirrors reference read_batch semantics)."""
+        size = self.size(compression)
+        buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, np.uint8)
+        if buf.size % size:
+            raise SerializationError(f"batch length {buf.size} not multiple of {size}")
+        n = buf.size // size
+        rows = buf.reshape(n, size)
+
+        if compression is UseCompression.YES:
+            x_raw, flags = self._parse_coord(rows, mask_flags=True)
+            if not self._range_check(x_raw).all():
+                raise SerializationError("coordinate out of field range")
+            inf = (flags & FLAG_INFINITY) != 0
+            neg = (flags & FLAG_Y_NEG) != 0
+            if (inf & neg).any():
+                raise SerializationError("invalid flags (both set)")
+            p, ok = self._read_comp_jit(
+                jnp.asarray(x_raw), jnp.asarray(neg), jnp.asarray(inf)
+            )
+            if not bool(ok):
+                raise SerializationError("x not on curve (no sqrt)")
+        else:
+            x_rows = rows[:, : self.compressed_size]
+            y_rows = rows[:, self.compressed_size :]
+            x_raw, _xf = self._parse_coord(x_rows, mask_flags=False)
+            y_raw, flags = self._parse_coord(y_rows, mask_flags=True)
+            if not (self._range_check(x_raw).all() and self._range_check(y_raw).all()):
+                raise SerializationError("coordinate out of field range")
+            inf = (flags & FLAG_INFINITY) != 0
+            neg = (flags & FLAG_Y_NEG) != 0
+            if (inf & neg).any():
+                raise SerializationError("invalid flags (both set)")
+            p = self._read_unc_jit(
+                jnp.asarray(x_raw), jnp.asarray(y_raw), jnp.asarray(inf)
+            )
+        self.validate(p, check, subgroup_mode, compression)
+        return p
+
+    def _read_compressed_device(self, x_raw, neg, inf):
+        F = self.F
+        x = self._raw_to_mont(x_raw)
+        rhs = self.rhs(x)
+        y, ok = self.sqrter.sqrt(rhs)
+        flip = self.y_is_negative(y) != neg
+        y = F.select(flip, F.neg(y), y)
+        n = inf.shape[0]
+        one, zero = F.ones((n,)), F.zeros((n,))
+        p = PointVec(
+            x=F.select(inf, zero, x),
+            y=F.select(inf, one, y),
+            z=F.select(inf, zero, one),
+        )
+        return p, jnp.all(ok | inf)
+
+    def _read_uncompressed_device(self, x_raw, y_raw, inf):
+        F = self.F
+        x = self._raw_to_mont(x_raw)
+        y = self._raw_to_mont(y_raw)
+        n = inf.shape[0]
+        one, zero = F.ones((n,)), F.zeros((n,))
+        return PointVec(
+            x=F.select(inf, zero, x),
+            y=F.select(inf, one, y),
+            z=F.select(inf, zero, one),
+        )
+
+    def validate(
+        self,
+        p: PointVec,
+        check: CheckForCorrectness,
+        subgroup_mode: SubgroupCheckMode = SubgroupCheckMode.AUTO,
+        compression: UseCompression = UseCompression.NO,
+    ) -> None:
+        if check is CheckForCorrectness.NO:
+            return
+        inf = self.ops.is_infinity(p)
+        if check in (CheckForCorrectness.FULL, CheckForCorrectness.ONLY_NON_ZERO):
+            if bool(jnp.any(inf)):
+                raise PointAtInfinityError("point at infinity in batch")
+        if check in (CheckForCorrectness.FULL, CheckForCorrectness.ONLY_IN_GROUP):
+            # compressed points are on-curve by construction (y from sqrt)
+            if compression is not UseCompression.YES:
+                if not bool(jnp.all(self._oncurve_jit(p))):
+                    raise SerializationError("point not on curve")
+            if subgroup_mode is not SubgroupCheckMode.NO:
+                if not bool(jnp.all(self._subgroup_jit(p) | inf)):
+                    raise IncorrectSubgroupError("point not in prime-order subgroup")
+
+    def _write_device(self, p: PointVec, normalized: bool = False):
+        if normalized:
+            x, y, inf = p["x"], p["y"], self.ops.is_infinity(p)
+        else:
+            x, y, inf = self.ops.normalize(p)
+        neg = self.y_is_negative(y)
+        return self.fp.from_mont(x), self.fp.from_mont(y), inf, neg
+
+    def write_batch(
+        self, p: PointVec, compression: UseCompression, normalized: bool = False
+    ) -> bytes:
+        """Device points -> wire bytes. Normalizes (batch-inverts Z) unless
+        the caller guarantees affine form."""
+        jit_fn = self._write_norm_jit if normalized else self._write_jit
+        x_std, y_std, inf, neg = jit_fn(p)
+        neg = np.asarray(neg)
+        inf_np = np.asarray(inf)
+
+        def planes(raw):
+            raw = np.asarray(raw)
+            if self.deg == 1:
+                return [raw]
+            return [raw[:, i, :] for i in range(self.deg)]
+
+        x_planes, y_planes = planes(x_std), planes(y_std)
+        zero_plane = np.zeros_like(x_planes[0])
+        # zero out coords at infinity
+        for pl in (x_planes, y_planes):
+            for i in range(len(pl)):
+                pl[i] = np.where(inf_np[:, None], zero_plane, pl[i])
+
+        def coord_bytes(pls):
+            return np.concatenate([self._fp_limbs_to_bytes(pl) for pl in pls], axis=1)
+
+        if compression is UseCompression.YES:
+            out = coord_bytes(x_planes)
+            flags = np.where(inf_np, FLAG_INFINITY, np.where(~inf_np & neg, FLAG_Y_NEG, 0))
+            out[:, -1] |= flags.astype(np.uint8)
+        else:
+            xb = coord_bytes(x_planes)
+            yb = coord_bytes(y_planes)
+            flags = np.where(inf_np, FLAG_INFINITY, np.where(~inf_np & neg, FLAG_Y_NEG, 0))
+            yb[:, -1] |= flags.astype(np.uint8)
+            out = np.concatenate([xb, yb], axis=1)
+        return out.tobytes()
+
+
+@functools.lru_cache(maxsize=None)
+def batch_codec(curve_name: str, group: str) -> BatchPointCodec:
+    from .curve_jax import curve_ops
+
+    return BatchPointCodec(curve_ops(curve_name, group))
