@@ -7,7 +7,11 @@ Structure:
     fp_pallas.py  — Pallas TPU kernels for the inner field ops (hot path)
 """
 
+from .jax_setup import configure_jax
+
+configure_jax()
+
 from .fp_jax import FpOps
 from .curve_jax import CurveOps
 
-__all__ = ["FpOps", "CurveOps"]
+__all__ = ["FpOps", "CurveOps", "configure_jax"]

@@ -162,8 +162,12 @@ class BatchPointCodec:
         self.compressed_size = self.deg * self.fp_bytes
         self.uncompressed_size = 2 * self.compressed_size
         self.sqrter = ExtSqrt(self.F, ops.spec.q)
-        # (p+1)/2 limbs for the lexicographic y comparison
-        self._half = jnp.asarray(int_to_limbs((self.spec.q + 1) // 2, self.fp.L))
+        # (p+1)/2 limbs for the lexicographic y comparison (host constant)
+        self._half = int_to_limbs((self.spec.q + 1) // 2, self.fp.L)
+        self._r_limbs = int_to_limbs(self.spec.r, ops.fr.L)
+        gspec = ops.gspec
+        b_host = gspec.b if self.deg > 1 else (gspec.b[0],)
+        self._b_const = self.F.from_coeffs([tuple(b_host)])[0]
         # jitted device paths (cached per batch shape by jax)
         self._read_comp_jit = jax.jit(self._read_compressed_device)
         self._read_unc_jit = jax.jit(self._read_uncompressed_device)
@@ -272,13 +276,7 @@ class BatchPointCodec:
         x3 = F.mul(F.mul(x, x), x)
         if not ops.a_is_zero:
             x3 = F.add(x3, F.mul(jnp.broadcast_to(ops.a_dev, x.shape), x))
-        return F.add(x3, jnp.broadcast_to(self._b_dev(), x.shape))
-
-    @functools.lru_cache(maxsize=1)
-    def _b_dev(self):
-        gspec = self.ops.gspec
-        b_host = gspec.b if self.deg > 1 else (gspec.b[0],)
-        return self.F.from_coeffs([tuple(b_host)])[0]
+        return F.add(x3, jnp.broadcast_to(self._b_const, x.shape))
 
     def on_curve_mask(self, p: PointVec):
         """Affine (Z in {0,1}) points: y^2 == rhs(x) or infinity."""
@@ -288,11 +286,8 @@ class BatchPointCodec:
 
     def subgroup_mask_direct(self, p: PointVec):
         """r * P == O per element (Direct mode)."""
-        from ..fields.limb import int_to_limbs as i2l
-
         B = _batch_shape(self.F, p["x"])
-        r_limbs = jnp.asarray(i2l(self.spec.r, self.ops.fr.L))
-        scalars = jnp.broadcast_to(r_limbs, (*B, self.ops.fr.L))
+        scalars = jnp.broadcast_to(self._r_limbs, (*B, self.ops.fr.L))
         prod = self.ops.scalar_mul(p, scalars)
         return self.ops.is_infinity(prod)
 
@@ -303,16 +298,27 @@ class BatchPointCodec:
         compression: UseCompression,
         check: CheckForCorrectness = CheckForCorrectness.NO,
         subgroup_mode: SubgroupCheckMode = SubgroupCheckMode.AUTO,
+        pad_to: int | None = None,
     ) -> PointVec:
         """Parse a contiguous batch of points into device projective form
         (Z=1, or Z=0 for infinity). Raises on malformed/invalid content
-        according to `check` (mirrors reference read_batch semantics)."""
+        according to `check` (mirrors reference read_batch semantics).
+
+        `pad_to` pads the batch with infinity points up to a fixed size so
+        downstream jitted kernels see one shape per section (avoids
+        per-batch-length recompilation); validation ignores the padding."""
         size = self.size(compression)
         buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, np.uint8)
         if buf.size % size:
             raise SerializationError(f"batch length {buf.size} not multiple of {size}")
         n = buf.size // size
         rows = buf.reshape(n, size)
+        if pad_to is not None and pad_to > n:
+            pad_rows = np.zeros((pad_to - n, size), np.uint8)
+            # mark padding as infinity via the flag byte of the final coord
+            pad_rows[:, -1] = FLAG_INFINITY
+            rows = np.concatenate([rows, pad_rows], axis=0)
+        n_valid = n
 
         if compression is UseCompression.YES:
             x_raw, flags = self._parse_coord(rows, mask_flags=True)
@@ -341,7 +347,7 @@ class BatchPointCodec:
             p = self._read_unc_jit(
                 jnp.asarray(x_raw), jnp.asarray(y_raw), jnp.asarray(inf)
             )
-        self.validate(p, check, subgroup_mode, compression)
+        self.validate(p, check, subgroup_mode, compression, n_valid=n_valid)
         return p
 
     def _read_compressed_device(self, x_raw, neg, inf):
@@ -378,20 +384,23 @@ class BatchPointCodec:
         check: CheckForCorrectness,
         subgroup_mode: SubgroupCheckMode = SubgroupCheckMode.AUTO,
         compression: UseCompression = UseCompression.NO,
+        n_valid: int | None = None,
     ) -> None:
         if check is CheckForCorrectness.NO:
             return
         inf = self.ops.is_infinity(p)
+        batch = int(inf.shape[0])
+        valid = jnp.arange(batch) < (batch if n_valid is None else n_valid)
         if check in (CheckForCorrectness.FULL, CheckForCorrectness.ONLY_NON_ZERO):
-            if bool(jnp.any(inf)):
+            if bool(jnp.any(inf & valid)):
                 raise PointAtInfinityError("point at infinity in batch")
         if check in (CheckForCorrectness.FULL, CheckForCorrectness.ONLY_IN_GROUP):
             # compressed points are on-curve by construction (y from sqrt)
             if compression is not UseCompression.YES:
-                if not bool(jnp.all(self._oncurve_jit(p))):
+                if not bool(jnp.all(self._oncurve_jit(p) | ~valid)):
                     raise SerializationError("point not on curve")
             if subgroup_mode is not SubgroupCheckMode.NO:
-                if not bool(jnp.all(self._subgroup_jit(p) | inf)):
+                if not bool(jnp.all(self._subgroup_jit(p) | inf | ~valid)):
                     raise IncorrectSubgroupError("point not in prime-order subgroup")
 
     def _write_device(self, p: PointVec, normalized: bool = False):
@@ -403,14 +412,23 @@ class BatchPointCodec:
         return self.fp.from_mont(x), self.fp.from_mont(y), inf, neg
 
     def write_batch(
-        self, p: PointVec, compression: UseCompression, normalized: bool = False
+        self,
+        p: PointVec,
+        compression: UseCompression,
+        normalized: bool = False,
+        n_valid: int | None = None,
     ) -> bytes:
         """Device points -> wire bytes. Normalizes (batch-inverts Z) unless
-        the caller guarantees affine form."""
+        the caller guarantees affine form. `n_valid` drops padding rows."""
         jit_fn = self._write_norm_jit if normalized else self._write_jit
         x_std, y_std, inf, neg = jit_fn(p)
         neg = np.asarray(neg)
         inf_np = np.asarray(inf)
+        if n_valid is not None:
+            x_std = np.asarray(x_std)[:n_valid]
+            y_std = np.asarray(y_std)[:n_valid]
+            inf_np = inf_np[:n_valid]
+            neg = neg[:n_valid]
 
         def planes(raw):
             raw = np.asarray(raw)

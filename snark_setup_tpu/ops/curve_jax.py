@@ -106,21 +106,30 @@ class CurveOps:
             xs.append(cx)
             ys.append(cy)
             infs.append(inf)
-        x = self.field.from_coeffs(xs)
+        x = self.field.from_coeffs(xs)  # host numpy (Montgomery limbs)
         y = self.field.from_coeffs(ys)
-        inf_mask = jnp.asarray(np.array(infs, bool))
-        one = self.field.ones((len(points),))
-        zero = self.field.zeros((len(points),))
-        z = self.field.select(inf_mask, zero, one)
-        x = self.field.select(inf_mask, zero, x)
-        y = self.field.select(inf_mask, one, y)
+        inf_mask = np.array(infs, bool)
+        ex = inf_mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        one = np.broadcast_to(self.field.ones(), x.shape)
+        zero = np.zeros_like(x)
+        z = np.where(ex, zero, one)
+        x = np.where(ex, zero, x)
+        y = np.where(ex, one, y)
         return PointVec(x=x, y=y, z=z)
 
     def to_affine_host(self, p: PointVec) -> list[AffinePoint]:
-        """Device batch -> host affine points (batch-inverts Z)."""
-        x, y, inf = self.normalize(p)
-        coeffs_x = self.field.to_coeffs(x)
-        coeffs_y = self.field.to_coeffs(y)
+        """Device batch -> host affine points (batch-inverts Z); the whole
+        device part (normalize + Montgomery conversion) is one jitted call."""
+        if not hasattr(self, "_toaff_jit"):
+
+            def f(pt):
+                x, y, inf = self.normalize(pt)
+                return self.fq.from_mont(x), self.fq.from_mont(y), inf
+
+            self._toaff_jit = jax.jit(f)
+        x_std, y_std, inf = self._toaff_jit(p)
+        coeffs_x = self._std_to_coeffs(x_std)
+        coeffs_y = self._std_to_coeffs(y_std)
         infs = np.asarray(inf)
         out = []
         for cx, cy, isinf in zip(coeffs_x, coeffs_y, infs.reshape(-1)):
@@ -134,6 +143,17 @@ class CurveOps:
                     AffinePoint(self.spec.g2_field(cx), self.spec.g2_field(cy))
                 )
         return out
+
+    def _std_to_coeffs(self, arr):
+        """Standard-form limb planes -> list of int tuples (host)."""
+        from ..fields.limb import limbs_batch_to_ints
+
+        a = np.asarray(arr)
+        deg = self.field.degree
+        if deg == 1:
+            return [(v,) for v in limbs_batch_to_ints(a)]
+        flat = limbs_batch_to_ints(a.reshape(-1, a.shape[-1]))
+        return [tuple(flat[i * deg : (i + 1) * deg]) for i in range(len(flat) // deg)]
 
     # -- group law ---------------------------------------------------------
     def add(self, p: PointVec, q: PointVec) -> PointVec:

@@ -9,6 +9,7 @@ complete-formula kernels serves G1 and G2 of all five curves.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .fp_jax import FpOps
 
@@ -88,7 +89,8 @@ class QuadFieldOps:
 
     def ones(self, shape=()):
         z = self.zeros(shape)
-        return z.at[..., 0, :].set(self.fp.ones(shape))
+        z[..., 0, :] = self.fp.ones(shape)
+        return z
 
     def add(self, a, b):
         return self.fp.add(a, b)
@@ -134,7 +136,7 @@ class QuadFieldOps:
     def from_coeffs(self, host_vals, shape=None):
         c0 = self.fp.from_int([v[0] for v in host_vals])
         c1 = self.fp.from_int([v[1] for v in host_vals])
-        return jnp.stack([c0, c1], axis=-2)
+        return np.stack([c0, c1], axis=-2)
 
     def to_coeffs(self, a):
         c0 = self.fp.to_int(a[..., 0, :])
@@ -156,7 +158,8 @@ class CubicFieldOps:
 
     def ones(self, shape=()):
         z = self.zeros(shape)
-        return z.at[..., 0, :].set(self.fp.ones(shape))
+        z[..., 0, :] = self.fp.ones(shape)
+        return z
 
     def add(self, a, b):
         return self.fp.add(a, b)
@@ -216,7 +219,7 @@ class CubicFieldOps:
 
     def from_coeffs(self, host_vals, shape=None):
         cs = [self.fp.from_int([v[i] for v in host_vals]) for i in range(3)]
-        return jnp.stack(cs, axis=-2)
+        return np.stack(cs, axis=-2)
 
     def to_coeffs(self, a):
         cs = [self.fp.to_int(a[..., i, :]) for i in range(3)]

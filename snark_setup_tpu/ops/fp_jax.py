@@ -27,38 +27,59 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.limb import LIMB_BITS, LIMB_MASK, LimbSpec, int_to_limbs
+from .jax_setup import configure_jax
+
+configure_jax()
 
 MASK = jnp.uint32(LIMB_MASK)
 SHIFT = LIMB_BITS
 
 
+def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Shift limbs towards higher indices by d (zero-fill), last axis."""
+    if d == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
+
+
+def _ks_carry(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Binary carry resolution for limbs v < 2^17 via Kogge-Stone
+    carry-lookahead (log-depth, fully vectorized — no sequential scan).
+    Returns (limbs < 2^16, carry-out-of-top-limb)."""
+    L = v.shape[-1]
+    g = (v >> SHIFT).astype(bool)  # generate (carry out), v < 2^17 => 0/1
+    p = (v & MASK) == MASK  # propagate
+    d = 1
+    while d < L:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d <<= 1
+    carry_in = _shift_up(g, 1)
+    out = (v + carry_in.astype(jnp.uint32)) & MASK
+    # carry out of the top limb: top generate bit
+    top_carry = g[..., -1]
+    return out, top_carry
+
+
 def _resolve_carries(cols: jnp.ndarray) -> jnp.ndarray:
-    """Propagate carries along the last axis. Input limbs < 2^32 - 2^16;
+    """Propagate carries along the last axis. Input limbs < 2^31;
     output limbs < 2^16 with the final carry dropped (callers guarantee the
-    value fits)."""
-    x = jnp.moveaxis(cols, -1, 0)
-
-    def step(carry, v):
-        tot = v + carry
-        return tot >> SHIFT, tot & MASK
-
-    _, out = jax.lax.scan(step, jnp.zeros(x.shape[1:], jnp.uint32), x)
-    return jnp.moveaxis(out, 0, -1)
+    value fits). One redundant round brings limbs under 2^17, then a
+    log-depth carry-lookahead finishes — no data-dependent loops."""
+    v = (cols & MASK) + _shift_up(cols >> SHIFT, 1)  # limbs < 2^16 + 2^15
+    out, _ = _ks_carry(v)
+    return out
 
 
 def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b limbwise; returns (diff limbs, final borrow mask (bool))."""
-    xa = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
-    xb = jnp.moveaxis(b, -1, 0).astype(jnp.int32)
-
-    def step(borrow, ab):
-        av, bv = ab
-        d = av - bv - borrow
-        neg = d < 0
-        return neg.astype(jnp.int32), jnp.where(neg, d + (1 << SHIFT), d)
-
-    borrow, out = jax.lax.scan(step, jnp.zeros(xa.shape[1:], jnp.int32), (xa, xb))
-    return jnp.moveaxis(out, 0, -1).astype(jnp.uint32), borrow.astype(bool)
+    """a - b limbwise; returns (diff limbs, final borrow mask (bool)).
+    Two's-complement addition in base 2^16 with carry-lookahead."""
+    L = a.shape[-1]
+    w = a + (MASK - b)  # < 2^17
+    w = w.at[..., 0].add(1)
+    out, top_carry = _ks_carry(w)
+    return out, ~top_carry
 
 
 class FpOps:
@@ -72,45 +93,51 @@ class FpOps:
         self.spec = LimbSpec(modulus)
         L = self.spec.n_limbs
         self.L = L
-        self.N = jnp.asarray(int_to_limbs(modulus, L))
-        self.Nprime = jnp.asarray(int_to_limbs(self.spec.n0_inv, L))
-        self.R2 = jnp.asarray(int_to_limbs(self.spec.mont_r2, L))
+        # All closure constants are HOST numpy arrays: jitted functions embed
+        # them directly as MLIR constants. (Eager jnp constants would live on
+        # the default device — with the tunneled axon TPU backend, lowering
+        # then stalls fetching each one back across the tunnel.)
+        self.N = int_to_limbs(modulus, L)
+        self.Nprime = int_to_limbs(self.spec.n0_inv, L)
+        self.R2 = int_to_limbs(self.spec.mont_r2, L)
         self.one_mont_np = int_to_limbs(self.spec.mont_r % modulus, L)
         self.zero_np = np.zeros(L, np.uint32)
         # Gather indices mapping padded product rows onto anti-diagonal
         # column sums: cols[k] = sum_i lo[i, k-i] + sum_i hi[i, k-1-i].
         rows = np.arange(L)[:, None]
         cols2 = np.arange(2 * L)[None, :]
-        self._rows_idx = jnp.asarray(np.broadcast_to(rows, (L, 2 * L)).copy())
-        self._gidx_lo = jnp.asarray((cols2 - rows) % (2 * L))
-        self._gidx_hi = jnp.asarray((cols2 - 1 - rows) % (2 * L))
+        self._rows_idx = np.broadcast_to(rows, (L, 2 * L)).copy()
+        self._gidx_lo = (cols2 - rows) % (2 * L)
+        self._gidx_hi = (cols2 - 1 - rows) % (2 * L)
 
-    # -- constants ---------------------------------------------------------
-    def zeros(self, shape=()) -> jnp.ndarray:
-        return jnp.zeros((*shape, self.L), jnp.uint32)
+    # -- constants (host numpy; fold into jitted graphs as constants) ------
+    def zeros(self, shape=()) -> np.ndarray:
+        return np.zeros((*shape, self.L), np.uint32)
 
-    def ones(self, shape=()) -> jnp.ndarray:
-        return jnp.broadcast_to(jnp.asarray(self.one_mont_np), (*shape, self.L))
+    def ones(self, shape=()) -> np.ndarray:
+        return np.broadcast_to(self.one_mont_np, (*shape, self.L))
 
-    # -- host conversion ---------------------------------------------------
-    def from_int(self, values, shape=None) -> jnp.ndarray:
-        """Host ints (standard form) -> device Montgomery limbs."""
+    # -- host conversion (pure host math — no device round trips) ----------
+    def from_int(self, values, shape=None) -> np.ndarray:
+        """Host ints (standard form) -> Montgomery limbs (host numpy).
+        Montgomery conversion v -> v*R mod N is trivial host bigint math."""
         from ..fields.limb import ints_to_limbs_batch
 
         single = isinstance(values, int)
         if single:
             values = [values]
-        arr = ints_to_limbs_batch([v % self.modulus for v in values], self.L)
-        dev = jnp.asarray(arr)
-        out = self.mont_mul(dev, self.R2)
-        return out[0] if single else out
+        R = self.spec.mont_r
+        m = self.modulus
+        arr = ints_to_limbs_batch([(v % m) * R % m for v in values], self.L)
+        return arr[0] if single else arr
 
     def to_int(self, limbs) -> list[int]:
-        """Device Montgomery limbs -> host ints (standard form)."""
+        """Montgomery limbs (host or device) -> host ints (standard form)."""
         from ..fields.limb import limbs_batch_to_ints
 
-        arr = np.asarray(self.from_mont(limbs))
-        return limbs_batch_to_ints(arr)
+        rinv = pow(self.spec.mont_r, -1, self.modulus)
+        arr = np.asarray(limbs)
+        return [v * rinv % self.modulus for v in limbs_batch_to_ints(arr)]
 
     def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
         one = jnp.zeros_like(a).at[..., 0].set(1)

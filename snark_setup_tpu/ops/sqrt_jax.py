@@ -68,7 +68,7 @@ class SqrtOps:
         from .fp_jax import _sub_with_borrow
         from ..fields.limb import int_to_limbs
 
-        half = jnp.asarray(int_to_limbs((self.p + 1) // 2, self.fp.L))
+        half = int_to_limbs((self.p + 1) // 2, self.fp.L)
         y_std = self.fp.from_mont(y)
         _, borrow = _sub_with_borrow(y_std, jnp.broadcast_to(half, y_std.shape))
         return ~borrow  # no borrow => y >= half

@@ -13,6 +13,8 @@ generates 4 blocks (64 u32 words) per refill.
 
 from __future__ import annotations
 
+import numpy as np
+
 MASK32 = 0xFFFFFFFF
 
 _CONSTANTS = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
@@ -52,6 +54,49 @@ def chacha20_block(key_words, counter: int, stream_words) -> list[int]:
         _quarter_round(s, 2, 7, 8, 13)
         _quarter_round(s, 3, 4, 9, 14)
     return [(a + b) & MASK32 for a, b in zip(s, init)]
+
+
+def chacha_words_np(key_words, block0: int, nblocks: int) -> np.ndarray:
+    """Bulk ChaCha20 keystream: u32 words of blocks [block0, block0+nblocks)
+    as a flat (nblocks*16,) uint32 array — vectorized over the block axis.
+    Bit-identical to chacha20_block / the streaming ChaChaRng."""
+    counters = np.arange(block0, block0 + nblocks, dtype=np.uint64)
+    init = np.empty((16, nblocks), np.uint32)
+    for i, c in enumerate(_CONSTANTS):
+        init[i] = c
+    for i, k in enumerate(key_words):
+        init[4 + i] = k
+    init[12] = (counters & 0xFFFFFFFF).astype(np.uint32)
+    init[13] = (counters >> 32).astype(np.uint32)
+    init[14] = 0
+    init[15] = 0
+    s = init.copy()
+
+    def rotl(x, n):
+        return (x << np.uint32(n)) | (x >> np.uint32(32 - n))
+
+    def qr(a, b, c, d):
+        s[a] += s[b]
+        s[d] = rotl(s[d] ^ s[a], 16)
+        s[c] += s[d]
+        s[b] = rotl(s[b] ^ s[c], 12)
+        s[a] += s[b]
+        s[d] = rotl(s[d] ^ s[a], 8)
+        s[c] += s[d]
+        s[b] = rotl(s[b] ^ s[c], 7)
+
+    with np.errstate(over="ignore"):
+        for _ in range(10):
+            qr(0, 4, 8, 12)
+            qr(1, 5, 9, 13)
+            qr(2, 6, 10, 14)
+            qr(3, 7, 11, 15)
+            qr(0, 5, 10, 15)
+            qr(1, 6, 11, 12)
+            qr(2, 7, 8, 13)
+            qr(3, 4, 9, 14)
+        s += init
+    return s.T.reshape(-1)
 
 
 class ChaChaRng:

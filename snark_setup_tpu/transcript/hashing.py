@@ -60,20 +60,62 @@ def hash_to_g2(spec: CurveSpec, digest: bytes) -> AffinePoint:
 
     Byte-consumption detail (interop-critical): each candidate byte is
     rand 0.8's `rng.gen::<u8>()`, which consumes a FULL u32 from the stream.
+    The rejection rate is high (unmasked top bits of each base-field
+    coefficient must happen to be < p, ~2^-12 for BLS12-377 G2), so the
+    keystream is generated in numpy bulk and candidates are pre-filtered
+    vectorized; the exact arkworks parse runs only on survivors, in stream
+    order — bit-identical to the sequential loop.
     """
+    import numpy as np
+
+    from .chacha import chacha_words_np
+
     assert len(digest) >= 32
-    rng = ChaChaRng.from_seed(bytes(digest[:32]))
+    seed = bytes(digest[:32])
+    key_words = [int.from_bytes(seed[i : i + 4], "little") for i in range(0, 32, 4)]
     codec = g2_codec(spec)
     curve = g2_curve(spec)
     n = codec.compressed_size
+    fp_bytes = (spec.q.bit_length() + 7) // 8
+    deg = codec.ext_degree
+
+    # vectorized "coefficient < q" filter on LE bytes
+    q_bytes = np.frombuffer(spec.q.to_bytes(fp_bytes, "little"), np.uint8)
+
+    def coeff_lt_q(rows: np.ndarray) -> np.ndarray:
+        # lexicographic from the most-significant byte
+        lt = np.zeros(rows.shape[0], bool)
+        decided = np.zeros(rows.shape[0], bool)
+        for k in range(fp_bytes - 1, -1, -1):
+            less = rows[:, k] < q_bytes[k]
+            more = rows[:, k] > q_bytes[k]
+            lt |= ~decided & less
+            decided |= less | more
+        return lt
+
+    CAND_CHUNK = 4096
+    block = 0
     while True:
-        candidate = bytes(rng.next_u32() & 0xFF for _ in range(n))
-        p = codec.from_random_bytes(candidate)
-        if p is None:
-            continue
-        scaled = curve.clear_cofactor(p)
-        if not scaled.is_infinity:
-            return scaled
+        nwords = CAND_CHUNK * n
+        nblocks = -(-nwords // 16)
+        words = chacha_words_np(key_words, block, nblocks)[:nwords]
+        block += nblocks
+        # NB: candidates must align to exact word positions; keep chunks
+        # word-exact by always consuming CAND_CHUNK*n words.
+        cand = (words & 0xFF).astype(np.uint8).reshape(CAND_CHUNK, n)
+        flags = cand[:, -1] & 0xC0
+        ok = ~((flags == 0xC0))
+        work = cand.copy()
+        work[:, -1] &= 0x3F
+        for c in range(deg):
+            ok &= coeff_lt_q(work[:, c * fp_bytes : (c + 1) * fp_bytes])
+        for idx in np.nonzero(ok)[0]:
+            p = codec.from_random_bytes(bytes(cand[idx]))
+            if p is None:
+                continue
+            scaled = curve.clear_cofactor(p)
+            if not scaled.is_infinity:
+                return scaled
 
 
 def compute_g2_s(
