@@ -35,8 +35,13 @@ class LimbSpec:
 
     @property
     def mont_r(self) -> int:
-        """Device Montgomery radix R = 2^(16*n_limbs)."""
+        """Device Montgomery radix R = 2^(16*n_limbs), reduced mod N."""
         return pow(2, self.total_bits, self.modulus)
+
+    @property
+    def mont_r_pow(self) -> int:
+        """Raw (unreduced) Montgomery radix R = 2^(16*n_limbs)."""
+        return 1 << self.total_bits
 
     @property
     def mont_r2(self) -> int:

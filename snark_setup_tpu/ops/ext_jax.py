@@ -4,6 +4,14 @@ Element layout: (..., d, L) uint32 Montgomery limbs, d = extension degree.
 A uniform protocol (mul/add/sub/neg/sqr/inv/select/...) lets the curve group
 law (curve_jax.py) be generic over Fp, Fp2 and Fp3 coordinates — one set of
 complete-formula kernels serves G1 and G2 of all five curves.
+
+Compile/runtime design: multiplication goes through a *column-space* pipeline
+(`prod_cols` -> merge -> `redc`): one stacked limb-product per mul round and
+one Montgomery reduction per output coefficient, instead of 3-9 sequential
+full Montgomery muls. Independent muls stack along a leading axis (the curve
+group law batches 6 at a time), keeping XLA graphs small and TPU ops large.
+Negative tower non-residues are handled by negating one *input* (exact) so
+column accumulations never go negative.
 """
 
 from __future__ import annotations
@@ -14,14 +22,6 @@ import numpy as np
 from .fp_jax import FpOps
 
 
-def _nr_mul(fp: FpOps, a, nr: int):
-    """Multiply by the (small, possibly negative) tower non-residue."""
-    out = fp.mul_small(a, abs(nr))
-    if nr < 0:
-        out = fp.neg(out)
-    return out
-
-
 class BaseFieldOps:
     """Degree-1 'extension': direct passthrough to FpOps; layout (..., L)."""
 
@@ -29,6 +29,8 @@ class BaseFieldOps:
 
     def __init__(self, fp: FpOps):
         self.fp = fp
+        # max #plain-products accumulated per coefficient by prod_cols
+        self.prod_nprod = 1
 
     def zeros(self, shape=()):
         return self.fp.zeros(shape)
@@ -45,11 +47,19 @@ class BaseFieldOps:
     def neg(self, a):
         return self.fp.neg(a)
 
+    def prod_cols(self, a, b):
+        """Column-space product: (..., 2L) non-negative columns."""
+        a, b = jnp.broadcast_arrays(a, b)
+        return self.fp.school_cols(a, b)
+
+    def redc(self, cols, nprod: int = None):
+        return self.fp.redc_cols(cols, nprod if nprod is not None else self.prod_nprod)
+
     def mul(self, a, b):
-        return self.fp.mont_mul(a, b)
+        return self.redc(self.prod_cols(a, b))
 
     def sqr(self, a):
-        return self.fp.mont_sqr(a)
+        return self.mul(a, a)
 
     def mul_small(self, a, k):
         return self.fp.mul_small(a, k)
@@ -83,6 +93,7 @@ class QuadFieldOps:
     def __init__(self, fp: FpOps, nonresidue: int):
         self.fp = fp
         self.nr = nonresidue if nonresidue <= fp.modulus // 2 else nonresidue - fp.modulus
+        self.prod_nprod = max(1 + abs(self.nr), 2)
 
     def zeros(self, shape=()):
         return self.fp.zeros((*shape, 2))
@@ -101,15 +112,28 @@ class QuadFieldOps:
     def neg(self, a):
         return self.fp.neg(a)
 
-    def mul(self, a, b):
+    def prod_cols(self, a, b):
+        """Schoolbook product as (..., 2, 2L) non-negative columns — ONE
+        stacked limb multiply (4 products), nr folded with |nr| weight and a
+        pre-negated input when nr < 0."""
         fp = self.fp
+        a, b = jnp.broadcast_arrays(a, b)
         a0, a1 = a[..., 0, :], a[..., 1, :]
         b0, b1 = b[..., 0, :], b[..., 1, :]
-        v0 = fp.mont_mul(a0, b0)
-        v1 = fp.mont_mul(a1, b1)
-        c0 = fp.add(v0, _nr_mul(fp, v1, self.nr))
-        c1 = fp.sub(fp.sub(fp.mont_mul(fp.add(a0, a1), fp.add(b0, b1)), v0), v1)
+        nr = self.nr
+        a1w = fp.neg(a1) if nr < 0 else a1
+        U = jnp.stack([a0, a1w, a0, a1], axis=0)
+        V = jnp.stack([b0, b1, b1, b0], axis=0)
+        W = fp.school_cols(U, V)  # (4, ..., 2L)
+        c0 = W[0] + jnp.uint32(abs(nr)) * W[1]
+        c1 = W[2] + W[3]
         return jnp.stack([c0, c1], axis=-2)
+
+    def redc(self, cols, nprod: int = None):
+        return self.fp.redc_cols(cols, nprod if nprod is not None else self.prod_nprod)
+
+    def mul(self, a, b):
+        return self.redc(self.prod_cols(a, b))
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -152,6 +176,7 @@ class CubicFieldOps:
     def __init__(self, fp: FpOps, nonresidue: int):
         self.fp = fp
         self.nr = nonresidue if nonresidue <= fp.modulus // 2 else nonresidue - fp.modulus
+        self.prod_nprod = max(1 + 2 * abs(self.nr), 2 + abs(self.nr), 3)
 
     def zeros(self, shape=()):
         return self.fp.zeros((*shape, 3))
@@ -170,20 +195,37 @@ class CubicFieldOps:
     def neg(self, a):
         return self.fp.neg(a)
 
-    def mul(self, a, b):
+    def prod_cols(self, a, b):
+        """Schoolbook product as (..., 3, 2L) non-negative columns — ONE
+        stacked limb multiply (9 products).
+
+        c0 = a0b0 + nr(a1b2 + a2b1)
+        c1 = a0b1 + a1b0 + nr*a2b2
+        c2 = a0b2 + a2b0 + a1b1
+        """
         fp = self.fp
+        a, b = jnp.broadcast_arrays(a, b)
         a0, a1, a2 = (a[..., i, :] for i in range(3))
         b0, b1, b2 = (b[..., i, :] for i in range(3))
-        v0 = fp.mont_mul(a0, b0)
-        v1 = fp.mont_mul(a1, b1)
-        v2 = fp.mont_mul(a2, b2)
-        t0 = fp.sub(fp.sub(fp.mont_mul(fp.add(a1, a2), fp.add(b1, b2)), v1), v2)
-        c0 = fp.add(v0, _nr_mul(fp, t0, self.nr))
-        t1 = fp.sub(fp.sub(fp.mont_mul(fp.add(a0, a1), fp.add(b0, b1)), v0), v1)
-        c1 = fp.add(t1, _nr_mul(fp, v2, self.nr))
-        t2 = fp.sub(fp.sub(fp.mont_mul(fp.add(a0, a2), fp.add(b0, b2)), v0), v2)
-        c2 = fp.add(t2, v1)
+        nr = self.nr
+        if nr < 0:
+            a1w, a2w = fp.neg(a1), fp.neg(a2)
+        else:
+            a1w, a2w = a1, a2
+        U = jnp.stack([a0, a1w, a2w, a0, a1, a2w, a0, a2, a1], axis=0)
+        V = jnp.stack([b0, b2, b1, b1, b0, b2, b2, b0, b1], axis=0)
+        W = fp.school_cols(U, V)  # (9, ..., 2L)
+        w = jnp.uint32(abs(nr))
+        c0 = W[0] + w * (W[1] + W[2])
+        c1 = W[3] + W[4] + w * W[5]
+        c2 = W[6] + W[7] + W[8]
         return jnp.stack([c0, c1, c2], axis=-2)
+
+    def redc(self, cols, nprod: int = None):
+        return self.fp.redc_cols(cols, nprod if nprod is not None else self.prod_nprod)
+
+    def mul(self, a, b):
+        return self.redc(self.prod_cols(a, b))
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -224,6 +266,14 @@ class CubicFieldOps:
     def to_coeffs(self, a):
         cs = [self.fp.to_int(a[..., i, :]) for i in range(3)]
         return list(zip(*cs))
+
+
+def _nr_mul(fp: FpOps, a, nr: int):
+    """Multiply by the (small, possibly negative) tower non-residue."""
+    out = fp.mul_small(a, abs(nr))
+    if nr < 0:
+        out = fp.neg(out)
+    return out
 
 
 def make_field_ops(fp: FpOps, degree: int, nonresidue: int = 0):

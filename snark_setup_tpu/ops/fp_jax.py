@@ -148,8 +148,15 @@ class FpOps:
         return self.mont_mul(a, self.R2)
 
     # -- core arithmetic ---------------------------------------------------
-    def _school_mul_cols(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Full product column sums: (..., 2L) with limbs < 2^27.
+    # Column-space ("lazy reduction") layer: a full product is kept as 2L
+    # anti-diagonal column sums (each < 2L * 2^16 <= 2^23) WITHOUT carry
+    # resolution. Independent products stack along a leading axis and several
+    # products can be accumulated per column (headroom to 2^31) before ONE
+    # Montgomery reduction — this is what keeps XLA graphs small and TPU ops
+    # large. Subtraction never appears in column space: callers negate one
+    # *input* element instead (exact, cheap), keeping all columns >= 0.
+    def school_cols(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Full product column sums: (..., 2L) uint32 with limbs < 2^23.
 
         Anti-diagonal sums are computed with one gather + one reduction per
         product half (rolled rows), which XLA fuses far better than 2L
@@ -167,26 +174,32 @@ class FpOps:
         )
         return cols
 
+    def redc_cols(self, cols: jnp.ndarray, nprod: int = 1) -> jnp.ndarray:
+        """Montgomery-reduce a column-space value V (< nprod * N^2) to
+        V * R^{-1} mod N. `nprod` is the host-known bound on how many plain
+        products were accumulated (incl. small-constant weights); requires
+        nprod * N < R, asserted."""
+        assert nprod * self.modulus < self.spec.mont_r_pow, "REDC bound violated"
+        L = self.L
+        t = _resolve_carries(cols)  # 2L limbs < 2^16, exact value T
+        m = self._low_mul(t[..., :L], self.Nprime)
+        u_cols = self.school_cols(m, self.N)  # 2L cols
+        # s = t + u; low L limbs are 0 mod R; result is the high half plus
+        # the carry out of the low half.
+        s = _resolve_carries(t + u_cols)
+        res = s[..., L : 2 * L]
+        return self._cond_sub_n(res)
+
     def _low_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """(a * b) mod R: only the low L columns, carry-resolved."""
         L = self.L
-        cols = self._school_mul_cols(a, b)[..., :L]
+        cols = self.school_cols(a, b)[..., :L]
         return _resolve_carries(cols)
 
     def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*R^{-1} mod N (two-multiplication REDC)."""
-        L = self.L
         a, b = jnp.broadcast_arrays(a, b)
-        t_cols = self._school_mul_cols(a, b)
-        t = _resolve_carries(t_cols)  # 2L limbs < 2^16
-        m = self._low_mul(t[..., :L], self.Nprime)
-        u_cols = self._school_mul_cols(m, self.N)  # 2L cols
-        # s = t + u; low L limbs are 0 mod R; result is the high half plus
-        # the carry out of the low half.
-        s_cols = t + u_cols
-        s = _resolve_carries_keep_top(s_cols)
-        res = s[..., L : 2 * L]
-        return self._cond_sub_n(res)
+        return self.redc_cols(self.school_cols(a, b))
 
     def mont_sqr(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mont_mul(a, a)
@@ -287,12 +300,6 @@ class FpOps:
         suf_excl = jnp.concatenate([suf_incl[1:], jnp.broadcast_to(ones_row, (1, *a.shape[1:]))], axis=0)
         out = self.mont_mul(self.mont_mul(pre_excl, suf_excl), inv_total)
         return jnp.where(is_zero[..., None], jnp.zeros_like(a), out)
-
-
-def _resolve_carries_keep_top(cols: jnp.ndarray) -> jnp.ndarray:
-    """Like _resolve_carries but appends the final carry as an extra limb
-    is NOT needed here; kept separate for clarity: result high half < R."""
-    return _resolve_carries(cols)
 
 
 @functools.lru_cache(maxsize=None)

@@ -201,7 +201,7 @@ class Phase1:
                 batches are padded to one fixed shape per section so jitted
                 kernels compile once."""
                 n = ec - sc
-                pad = max(parameters.batch_size, n)
+                pad = parameters.batch_size + 1
                 pts = codec.read_batch(
                     bytes(section_in.slice_of(input_buf, sc, ec)),
                     compressed_input,
@@ -460,7 +460,7 @@ class Phase1:
                 """Nonzero+subgroup check, optional RLC power-pair ratio
                 check, and write-through into the new challenge."""
                 n = ec - sc
-                pad = max(parameters.batch_size, n)
+                pad = parameters.batch_size + 1
                 pts = codec.read_batch(
                     bytes(sec_out[sec_name].slice_of(output_buf, sc, ec)),
                     compressed_output,
@@ -550,7 +550,7 @@ class Phase1:
 
             def ratio_section(codec, sec_name, s, e, check_pair_g2=None, check_pair_g1=None):
                 n = e - s
-                pad = max(parameters.batch_size, n)
+                pad = parameters.batch_size + 1
                 pts = codec.read_batch(
                     bytes(sec[sec_name].slice_of(output_buf, s, e)),
                     compressed_output,
@@ -750,7 +750,7 @@ class Phase1:
                     compression,
                     check_input_for_correctness,
                     subgroup_mode=SubgroupCheckMode.AUTO,
-                    pad_to=B,
+                    pad_to=B + 1,
                 )
                 out.extend(codec.ops.to_affine_host(pts)[: hi - off])
             return out
