@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched G1 fixed-window scalar multiplication — the
+ceremony's hot op (batch_exp, reference setup-utils/src/helpers.rs:75-140;
+99% of `phase1 contribute` cycles per SURVEY §3.1).
+
+Prints ONE JSON line:
+  {"metric": "g1_exp_per_s", "value": N, "unit": "exp/s", "vs_baseline": R}
+
+vs_baseline divides by the same op measured on this image's CPU backend
+(JAX XLA-CPU, 2 cores: 22 exp/s at batch 512 — measured 2026-08-17, see
+BASELINE.md; the reference publishes no numbers and no Rust toolchain exists
+in this image to run it).
+
+Notes:
+- On the tunneled axon TPU backend, `block_until_ready` returns at dispatch
+  time; a host readback (np.asarray) is the only true synchronization, so we
+  time through readback of one limb plane.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+CPU_BASELINE_EXP_PER_S = 22.0  # this image's 2-core CPU backend, batch 512
+
+
+def main():
+    import jax
+
+    from snark_setup_tpu.fields.limb import ints_to_limbs_batch
+    from snark_setup_tpu.ops.curve_jax import curve_ops
+
+    batch = int(os.environ.get("SNARK_BENCH_BATCH", "2048"))
+    reps = int(os.environ.get("SNARK_BENCH_REPS", "3"))
+
+    ops = curve_ops("bls12_377", "g1")
+    hc = ops.host_curve
+    rng = np.random.default_rng(42)
+
+    # distinct base points (small multiples of G — cheap to build on host)
+    base_pts = [hc.mul(hc.generator, int(k)) for k in rng.integers(1, 1 << 30, 4)]
+    pts = ops.from_affine_host([base_pts[i % 4] for i in range(batch)])
+
+    # full-width random scalars
+    ks = [int.from_bytes(rng.bytes(31), "little") % ops.spec.r for _ in range(batch)]
+    sc = np.ascontiguousarray(ints_to_limbs_batch(ks, ops.fr.L).T)
+
+    f = jax.jit(ops.scalar_mul)
+    r = f(pts, sc)
+    _ = np.asarray(r["x"])  # warm-up + true sync
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        r = f(pts, sc)
+        _ = np.asarray(r["x"])  # sync through readback
+        times.append(time.time() - t0)
+    dt = min(times)
+    rate = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "g1_exp_per_s",
+                "value": round(rate, 2),
+                "unit": "exp/s",
+                "vs_baseline": round(rate / CPU_BASELINE_EXP_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,8 @@ reference's BatchDeserializer/BatchSerializer (C17, setup-utils/src/io/).
 
 Byte<->limb packing is vectorized numpy on the host (pure data movement);
 the expensive parts — modular sqrt for decompression, on-curve and subgroup
-checks, batch normalization — run on device over the whole batch.
+checks, batch normalization — run on device over the whole batch, in the
+limbs-leading (L[, d], B) layout (see fp_jax.py).
 
 Wire format is the arkworks encoding (see serialize/arkworks.py): LE field
 bytes, flags in the top 2 bits of an element's final byte.
@@ -25,30 +26,29 @@ from ..utils.errors import (
     SerializationError,
 )
 from .curve_jax import CurveOps, PointVec
-from .ext_jax import BaseFieldOps
+from .hostmath import host_ext_one, host_ext_pow
 
 FLAG_Y_NEG = 1 << 7
 FLAG_INFINITY = 1 << 6
 FLAG_MASK = FLAG_Y_NEG | FLAG_INFINITY
 
 
+def _batch_shape(F, arr):
+    return arr.shape[1:] if F.degree == 1 else arr.shape[2:]
+
+
 def ext_pow_const(F, a, e: int):
     """a^e in an ext-field ops object, lax.scan over host-known bits."""
     if e == 0:
-        return jnp.broadcast_to(F.ones(), a.shape)
+        return jnp.broadcast_to(np.asarray(F.ones(_batch_shape(F, a))), a.shape)
     bits = np.array([int(b) for b in bin(e)[3:]], np.bool_)
 
     def step(acc, bit):
         acc = F.mul(acc, acc)
-        cond = jnp.broadcast_to(bit, _batch_shape(F, acc))
-        return F.select(cond, F.mul(acc, a), acc), None
+        return F.select(bit, F.mul(acc, a), acc), None
 
-    acc, _ = jax.lax.scan(step, a, jnp.asarray(bits))
+    acc, _ = jax.lax.scan(step, a, bits)
     return acc
-
-
-def _batch_shape(F, arr):
-    return arr.shape[: -1 if F.degree == 1 else -2]
 
 
 class ExtSqrt:
@@ -70,16 +70,12 @@ class ExtSqrt:
     def _find_nonresidue(self):
         import random
 
-        from ..curves.constants import get_curve
-
         rng = random.Random(99)
         q, d = self.q, self.F.degree
         half = self.group_order // 2
         while True:
             coeffs = tuple(rng.randrange(q) for _ in range(d))
-            # host check via pow in the extension using device ops would be
-            # slow; use python modular arithmetic through simple poly pow
-            if _host_ext_pow(coeffs, half, q, d, self._nr_int()) != _host_ext_one(d):
+            if host_ext_pow(coeffs, half, q, d, self._nr_int()) != host_ext_one(d):
                 self.z_coeffs = coeffs
                 break
 
@@ -87,8 +83,9 @@ class ExtSqrt:
         return getattr(self.F, "nr", 0)
 
     def c_init(self):
-        c0 = _host_ext_pow(self.z_coeffs, self.s, self.q, self.F.degree, self._nr_int())
-        return self.F.from_coeffs([c0])[0]
+        """(L[, d], 1) host constant: z^s, generator of the 2-Sylow group."""
+        c0 = host_ext_pow(self.z_coeffs, self.s, self.q, self.F.degree, self._nr_int())
+        return self.F.from_coeffs([c0])
 
     def sqrt(self, a):
         """(root, is_square mask). Branchless Tonelli–Shanks: lax.scan over
@@ -97,14 +94,13 @@ class ExtSqrt:
         F = self.F
         if self.e == 1:
             r = ext_pow_const(F, a, (self.group_order + 2) // 4)
-            # (q^d+1)/4 exponent: r^2 == a iff QR
             ok = F.eq(F.mul(r, r), a) | F.is_zero(a)
             return r, ok
         w = ext_pow_const(F, a, (self.s - 1) // 2)
         r = F.mul(a, w)
         t = F.mul(r, w)
         c = jnp.broadcast_to(self.c_init(), a.shape)
-        one = F.ones(_batch_shape(F, a))
+        one = np.asarray(F.ones(_batch_shape(F, a)))
 
         def outer(carry, i):
             r, t, c = carry
@@ -115,38 +111,9 @@ class ExtSqrt:
             t = F.select(flip, F.mul(t, c2), t)
             return (r, t, c2), None
 
-        (r, t, c), _ = jax.lax.scan(
-            outer, (r, t, c), jnp.arange(self.e, 1, -1)
-        )
+        (r, t, c), _ = jax.lax.scan(outer, (r, t, c), np.arange(self.e, 1, -1))
         ok = F.eq(F.mul(r, r), a) | F.is_zero(a)
         return r, ok
-
-
-def _host_ext_pow(coeffs, e, q, d, nr):
-    """Host-side extension pow for constant setup (binomial x^d - nr)."""
-    nr %= q
-
-    def mul(a, b):
-        res = [0] * (2 * d - 1)
-        for i in range(d):
-            for j in range(d):
-                res[i + j] = (res[i + j] + a[i] * b[j]) % q
-        for k in range(2 * d - 2, d - 1, -1):
-            res[k - d] = (res[k - d] + res[k] * nr) % q
-        return tuple(res[:d])
-
-    result = _host_ext_one(d)
-    base = tuple(c % q for c in coeffs)
-    while e > 0:
-        if e & 1:
-            result = mul(result, base)
-        base = mul(base, base)
-        e >>= 1
-    return result
-
-
-def _host_ext_one(d):
-    return tuple([1] + [0] * (d - 1))
 
 
 class BatchPointCodec:
@@ -162,12 +129,11 @@ class BatchPointCodec:
         self.compressed_size = self.deg * self.fp_bytes
         self.uncompressed_size = 2 * self.compressed_size
         self.sqrter = ExtSqrt(self.F, ops.spec.q)
-        # (p+1)/2 limbs for the lexicographic y comparison (host constant)
-        self._half = int_to_limbs((self.spec.q + 1) // 2, self.fp.L)
+        self._q_limbs = int_to_limbs(self.spec.q, self.fp.L)
         self._r_limbs = int_to_limbs(self.spec.r, ops.fr.L)
-        gspec = ops.gspec
-        b_host = gspec.b if self.deg > 1 else (gspec.b[0],)
-        self._b_const = self.F.from_coeffs([tuple(b_host)])[0]
+        self._b_const = self.F.from_coeffs(
+            [tuple(ops.gspec.b) if self.deg > 1 else (ops.gspec.b[0],)]
+        )
         # jitted device paths (cached per batch shape by jax)
         self._read_comp_jit = jax.jit(self._read_compressed_device)
         self._read_unc_jit = jax.jit(self._read_uncompressed_device)
@@ -185,22 +151,22 @@ class BatchPointCodec:
 
     # -- numpy byte <-> raw (standard form) limb planes -------------------
     def _bytes_to_fp_limbs(self, buf: np.ndarray) -> np.ndarray:
-        """(B, fp_bytes) uint8 -> (B, L) uint32 (standard form, unmasked)."""
+        """(B, fp_bytes) uint8 -> (L, B) uint32 (standard form, unmasked)."""
         B = buf.shape[0]
         want = 2 * self.fp.L
         padded = np.zeros((B, want), np.uint8)
         padded[:, : self.fp_bytes] = buf
         u16 = padded.view("<u2")
-        return u16.astype(np.uint32)
+        return np.ascontiguousarray(u16.astype(np.uint32).T)
 
     def _fp_limbs_to_bytes(self, limbs: np.ndarray) -> np.ndarray:
-        u16 = np.asarray(limbs, np.uint32).astype("<u2")
-        raw = u16.view(np.uint8)
+        """(L, B) uint32 -> (B, fp_bytes) uint8."""
+        u16 = np.asarray(limbs, np.uint32).T.astype("<u2")
+        raw = np.ascontiguousarray(u16).view(np.uint8)
         return raw[:, : self.fp_bytes]
 
     def _parse_coord(self, buf: np.ndarray, mask_flags: bool):
-        """(B, deg*fp_bytes) -> (raw limb array (B[,deg],L), flags (B,))."""
-        B = buf.shape[0]
+        """(B, deg*fp_bytes) -> (raw limbs (L[, d], B), flags (B,))."""
         flags = (buf[:, -1] & FLAG_MASK).copy()
         work = buf.copy()
         if mask_flags:
@@ -214,52 +180,45 @@ class BatchPointCodec:
         return np.stack(planes, axis=1), flags
 
     def _range_check(self, raw: np.ndarray) -> np.ndarray:
-        """True where every coefficient < q (vectorized big-int compare)."""
-        n_limbs = np.asarray(int_to_limbs(self.spec.q, self.fp.L))
-        flat = raw.reshape(-1, self.fp.L)
-        # lexicographic compare from the top limb
-        lt = np.zeros(flat.shape[0], bool)
-        decided = np.zeros(flat.shape[0], bool)
-        for k in range(self.fp.L - 1, -1, -1):
-            less = flat[:, k] < n_limbs[k]
-            more = flat[:, k] > n_limbs[k]
+        """True where every coefficient < q (vectorized bigint compare).
+        raw: (L[, d], B) -> (B,)."""
+        L = self.fp.L
+        flat = raw.reshape(L, -1)
+        lt = np.zeros(flat.shape[1], bool)
+        decided = np.zeros(flat.shape[1], bool)
+        for k in range(L - 1, -1, -1):
+            less = flat[k] < self._q_limbs[k]
+            more = flat[k] > self._q_limbs[k]
             lt |= (~decided) & less
             decided |= less | more
         ok = lt  # equal -> not < q -> invalid
         if self.deg == 1:
             return ok
-        return ok.reshape(raw.shape[0], self.deg).all(axis=1)
-
-    # -- device form conversions ------------------------------------------
-    def _raw_to_mont(self, raw: np.ndarray):
-        dev = jnp.asarray(raw)
-        r2 = self.fp.R2
-        return self.fp.mont_mul(dev, r2)
-
-    def _mont_to_raw(self, mont) -> np.ndarray:
-        return np.asarray(self.fp.from_mont(mont))
+        return ok.reshape(self.deg, -1).all(axis=0)
 
     # -- lexicographic y comparison ("is negative" flag) -------------------
     def y_is_negative(self, y_mont):
         """y > -y, comparing the highest ext coefficient first. Returns a
-        (B,) bool device array. Works on Montgomery inputs."""
+        (B,) bool array. Works on Montgomery inputs."""
         from .fp_jax import _sub_with_borrow
 
         y_std = self.fp.from_mont(y_mont)
         if self.deg == 1:
             coeffs = [y_std]
         else:
-            coeffs = [y_std[..., i, :] for i in range(self.deg)]
+            coeffs = [y_std[:, i] for i in range(self.deg)]
+        N = self.fp.N  # (L, 1) host
         neg = [
             jnp.where(
-                jnp.all(c == 0, axis=-1)[..., None],
+                jnp.all(c == 0, axis=0),
                 c,
-                _sub_with_borrow(jnp.broadcast_to(self.fp.N, c.shape), c)[0],
+                _sub_with_borrow(jnp.broadcast_to(N, c.shape), c)[0],
             )
             for c in coeffs
         ]
-        result = jnp.zeros(coeffs[0].shape[:-1], bool)
-        decided = jnp.zeros(coeffs[0].shape[:-1], bool)
+        B = coeffs[0].shape[1:]
+        result = jnp.broadcast_to(np.zeros((), bool), B)
+        decided = jnp.broadcast_to(np.zeros((), bool), B)
         for c, n in zip(reversed(coeffs), reversed(neg)):
             # c > n  <=> n - c borrows
             _, borrow_gt = _sub_with_borrow(n, c)
@@ -275,8 +234,8 @@ class BatchPointCodec:
         ops = self.ops
         x3 = F.mul(F.mul(x, x), x)
         if not ops.a_is_zero:
-            x3 = F.add(x3, F.mul(jnp.broadcast_to(ops.a_dev, x.shape), x))
-        return F.add(x3, jnp.broadcast_to(self._b_const, x.shape))
+            x3 = F.add(x3, F.mul(jnp.broadcast_to(F.bc(ops.a_dev, x), x.shape), x))
+        return F.add(x3, jnp.broadcast_to(F.bc(self._b_const, x), x.shape))
 
     def on_curve_mask(self, p: PointVec):
         """Affine (Z in {0,1}) points: y^2 == rhs(x) or infinity."""
@@ -286,8 +245,8 @@ class BatchPointCodec:
 
     def subgroup_mask_direct(self, p: PointVec):
         """r * P == O per element (Direct mode)."""
-        B = _batch_shape(self.F, p["x"])
-        scalars = jnp.broadcast_to(self._r_limbs, (*B, self.ops.fr.L))
+        B = p["x"].shape[-1]
+        scalars = np.broadcast_to(self._r_limbs[:, None], (self.ops.fr.L, B))
         prod = self.ops.scalar_mul(p, scalars)
         return self.ops.is_infinity(prod)
 
@@ -328,9 +287,7 @@ class BatchPointCodec:
             neg = (flags & FLAG_Y_NEG) != 0
             if (inf & neg).any():
                 raise SerializationError("invalid flags (both set)")
-            p, ok = self._read_comp_jit(
-                jnp.asarray(x_raw), jnp.asarray(neg), jnp.asarray(inf)
-            )
+            p, ok = self._read_comp_jit(x_raw, neg, inf)
             if not bool(ok):
                 raise SerializationError("x not on curve (no sqrt)")
         else:
@@ -344,21 +301,19 @@ class BatchPointCodec:
             neg = (flags & FLAG_Y_NEG) != 0
             if (inf & neg).any():
                 raise SerializationError("invalid flags (both set)")
-            p = self._read_unc_jit(
-                jnp.asarray(x_raw), jnp.asarray(y_raw), jnp.asarray(inf)
-            )
+            p = self._read_unc_jit(x_raw, y_raw, inf)
         self.validate(p, check, subgroup_mode, compression, n_valid=n_valid)
         return p
 
     def _read_compressed_device(self, x_raw, neg, inf):
         F = self.F
-        x = self._raw_to_mont(x_raw)
+        x = self.fp.to_mont_raw(x_raw)
         rhs = self.rhs(x)
         y, ok = self.sqrter.sqrt(rhs)
         flip = self.y_is_negative(y) != neg
         y = F.select(flip, F.neg(y), y)
         n = inf.shape[0]
-        one, zero = F.ones((n,)), F.zeros((n,))
+        one, zero = np.asarray(F.ones((n,))), np.asarray(F.zeros((n,)))
         p = PointVec(
             x=F.select(inf, zero, x),
             y=F.select(inf, one, y),
@@ -368,10 +323,10 @@ class BatchPointCodec:
 
     def _read_uncompressed_device(self, x_raw, y_raw, inf):
         F = self.F
-        x = self._raw_to_mont(x_raw)
-        y = self._raw_to_mont(y_raw)
+        x = self.fp.to_mont_raw(x_raw)
+        y = self.fp.to_mont_raw(y_raw)
         n = inf.shape[0]
-        one, zero = F.ones((n,)), F.zeros((n,))
+        one, zero = np.asarray(F.ones((n,))), np.asarray(F.zeros((n,)))
         return PointVec(
             x=F.select(inf, zero, x),
             y=F.select(inf, one, y),
@@ -389,8 +344,8 @@ class BatchPointCodec:
         if check is CheckForCorrectness.NO:
             return
         inf = self.ops.is_infinity(p)
-        batch = int(inf.shape[0])
-        valid = jnp.arange(batch) < (batch if n_valid is None else n_valid)
+        batch = int(inf.shape[-1])
+        valid = np.arange(batch) < (batch if n_valid is None else n_valid)
         if check in (CheckForCorrectness.FULL, CheckForCorrectness.ONLY_NON_ZERO):
             if bool(jnp.any(inf & valid)):
                 raise PointAtInfinityError("point at infinity in batch")
@@ -424,24 +379,24 @@ class BatchPointCodec:
         x_std, y_std, inf, neg = jit_fn(p)
         neg = np.asarray(neg)
         inf_np = np.asarray(inf)
+        x_std = np.asarray(x_std)
+        y_std = np.asarray(y_std)
         if n_valid is not None:
-            x_std = np.asarray(x_std)[:n_valid]
-            y_std = np.asarray(y_std)[:n_valid]
+            x_std = x_std[..., :n_valid]
+            y_std = y_std[..., :n_valid]
             inf_np = inf_np[:n_valid]
             neg = neg[:n_valid]
 
         def planes(raw):
-            raw = np.asarray(raw)
             if self.deg == 1:
                 return [raw]
-            return [raw[:, i, :] for i in range(self.deg)]
+            return [raw[:, i] for i in range(self.deg)]
 
         x_planes, y_planes = planes(x_std), planes(y_std)
-        zero_plane = np.zeros_like(x_planes[0])
         # zero out coords at infinity
         for pl in (x_planes, y_planes):
             for i in range(len(pl)):
-                pl[i] = np.where(inf_np[:, None], zero_plane, pl[i])
+                pl[i] = np.where(inf_np, 0, pl[i])
 
         def coord_bytes(pls):
             return np.concatenate([self._fp_limbs_to_bytes(pl) for pl in pls], axis=1)

@@ -1,10 +1,15 @@
 """Batched elliptic-curve group law on device — complete projective formulas.
 
 TPU-first choices:
+- Limbs-leading layout (fp_jax.py): coordinates are (L[, d], B) with the
+  batch axis LAST so it maps onto the 128-wide VPU lanes at full
+  utilization; limb/coefficient axes are leading (cheap static slices).
 - Renes–Costello–Batina *complete* addition formulas (eprint 2015/1060,
-  Algorithm 1): branch-free, handle doubling and infinity uniformly — ideal
-  for XLA/TPU where data-dependent control flow is poison. Infinity is
-  (0 : 1 : 0).
+  Algorithm 1; a=0 fast path = Algorithm 7): branch-free, handle doubling
+  and infinity uniformly — ideal for XLA/TPU where data-dependent control
+  flow is poison. Infinity is (0 : 1 : 0). The formulas are restructured
+  into THREE stacked multiplication rounds with column-space pair merges
+  (see ext_jax.py) — ~10x smaller XLA graphs than sequential muls.
 - Scalar multiplication is a `lax.scan` over scalar bits with constant-time
   selects (also good hygiene for a ceremony tool: no secret-dependent
   control flow), replacing the reference's per-element `mul_bigint` hot loop
@@ -32,7 +37,7 @@ from .fp_jax import FpOps, fp_ops
 
 
 class PointVec(dict):
-    """Batched projective points: {'x','y','z'} arrays."""
+    """Batched projective points: {'x','y','z'} arrays, batch axis last."""
 
     @property
     def x(self):
@@ -66,21 +71,22 @@ class CurveOps:
         degree = {"fp": 1, "fp2": 2, "fp3": 3}[gspec.field_kind]
         self.field = make_field_ops(self.fq, degree, spec.ext_nonresidue)
         self.host_curve = g1_curve(spec) if group == "g1" else g2_curve(spec)
-        # device curve constants (Montgomery form, host numpy)
+        # device curve constants (Montgomery form, host numpy, trailing
+        # singleton batch axis so they broadcast via field.bc)
         a_host = gspec.a if degree > 1 else (gspec.a[0],)
         b_host = gspec.b if degree > 1 else (gspec.b[0],)
         self.a_is_zero = all(v == 0 for v in a_host)
-        self.a_dev = self.field.from_coeffs([tuple(a_host)])[0]
+        self.a_dev = self.field.from_coeffs([tuple(a_host)])
         b3 = tuple(3 * v % spec.q for v in b_host)
-        self.b3_dev = self.field.from_coeffs([b3])[0]
+        self.b3_dev = self.field.from_coeffs([b3])
         if not self.a_is_zero:
             # -(a^2) as a host constant (used by the complete-add formulas)
-            from .codec_jax import _host_ext_pow
+            from .hostmath import host_ext_pow
 
             nr = spec.ext_nonresidue if degree > 1 else 0
-            a2 = _host_ext_pow(tuple(a_host), 2, spec.q, degree, nr)
+            a2 = host_ext_pow(tuple(a_host), 2, spec.q, degree, nr)
             neg_a2 = tuple((spec.q - c) % spec.q for c in a2)
-            self.neg_a2_dev = self.field.from_coeffs([neg_a2])[0]
+            self.neg_a2_dev = self.field.from_coeffs([neg_a2])
         # scalar field
         self.fr = fp_ops(spec.r)
         self.scalar_bits = spec.r.bit_length()
@@ -94,7 +100,7 @@ class CurveOps:
         )
 
     def from_affine_host(self, points: list[AffinePoint]) -> PointVec:
-        """Host affine points -> device projective batch."""
+        """Host affine points -> projective batch (host numpy arrays)."""
         deg = self.field.degree
 
         def coords(p):
@@ -114,15 +120,16 @@ class CurveOps:
             xs.append(cx)
             ys.append(cy)
             infs.append(inf)
-        x = self.field.from_coeffs(xs)  # host numpy (Montgomery limbs)
+        x = self.field.from_coeffs(xs)  # (L[, d], B) host numpy Montgomery
         y = self.field.from_coeffs(ys)
-        inf_mask = np.array(infs, bool)
-        ex = inf_mask.reshape((-1,) + (1,) * (x.ndim - 1))
-        one = np.broadcast_to(self.field.ones(), x.shape)
+        inf_mask = np.array(infs, bool)  # (B,) broadcasts from the right
+        one = np.broadcast_to(
+            self.field.ones().reshape(*x.shape[:-1], 1), x.shape
+        )
         zero = np.zeros_like(x)
-        z = np.where(ex, zero, one)
-        x = np.where(ex, zero, x)
-        y = np.where(ex, one, y)
+        z = np.where(inf_mask, zero, one)
+        x = np.where(inf_mask, zero, x)
+        y = np.where(inf_mask, one, y)
         return PointVec(x=x, y=y, z=z)
 
     def to_affine_host(self, p: PointVec) -> list[AffinePoint]:
@@ -138,9 +145,9 @@ class CurveOps:
         x_std, y_std, inf = self._toaff_jit(p)
         coeffs_x = self._std_to_coeffs(x_std)
         coeffs_y = self._std_to_coeffs(y_std)
-        infs = np.asarray(inf)
+        infs = np.asarray(inf).reshape(-1)
         out = []
-        for cx, cy, isinf in zip(coeffs_x, coeffs_y, infs.reshape(-1)):
+        for cx, cy, isinf in zip(coeffs_x, coeffs_y, infs):
             if isinf:
                 out.append(INFINITY)
                 continue
@@ -153,68 +160,69 @@ class CurveOps:
         return out
 
     def _std_to_coeffs(self, arr):
-        """Standard-form limb planes -> list of int tuples (host)."""
+        """Standard-form limb planes (L[, d], B) -> list of int tuples."""
         from ..fields.limb import limbs_batch_to_ints
 
         a = np.asarray(arr)
         deg = self.field.degree
+        L = a.shape[0]
         if deg == 1:
-            return [(v,) for v in limbs_batch_to_ints(a)]
-        flat = limbs_batch_to_ints(a.reshape(-1, a.shape[-1]))
-        return [tuple(flat[i * deg : (i + 1) * deg]) for i in range(len(flat) // deg)]
+            flat = a.reshape(L, -1).T
+            return [(v,) for v in limbs_batch_to_ints(flat)]
+        # (L, d, B) -> (B, d, L) rows (point-major)
+        flat = a.reshape(L, deg, -1).transpose(2, 1, 0).reshape(-1, L)
+        ints = limbs_batch_to_ints(flat)
+        return [tuple(ints[i * deg : (i + 1) * deg]) for i in range(len(ints) // deg)]
 
     # -- group law ---------------------------------------------------------
     def add(self, p: PointVec, q: PointVec) -> PointVec:
-        """RCB complete addition (eprint 2015/1060; Algorithm 1, a=0 fast
-        path = Algorithm 7), restructured into THREE stacked multiplication
-        rounds: independent field muls run as one batched limb product each,
-        and additive pairs merge in column space before a single stacked
-        Montgomery reduction — ~10x smaller XLA graphs than sequential muls
-        and better TPU vectorization."""
+        """RCB complete addition in three stacked multiplication rounds."""
         F = self.field
         X1, Y1, Z1 = p["x"], p["y"], p["z"]
         X2, Y2, Z2 = q["x"], q["y"], q["z"]
-        b3 = self.b3_dev
+        b3 = F.bc(self.b3_dev, X1)
 
         # round 0: the six symmetric products
-        U = jnp.stack([X1, Y1, Z1, F.add(X1, Y1), F.add(X1, Z1), F.add(Y1, Z1)])
-        V = jnp.stack([X2, Y2, Z2, F.add(X2, Y2), F.add(X2, Z2), F.add(Y2, Z2)])
+        U = F.stack([X1, Y1, Z1, F.add(X1, Y1), F.add(X1, Z1), F.add(Y1, Z1)])
+        V = F.stack([X2, Y2, Z2, F.add(X2, Y2), F.add(X2, Z2), F.add(Y2, Z2)])
         W = F.redc(F.prod_cols(U, V))
-        t0, t1, t2, s3, s4, s5 = (W[i] for i in range(6))
+        t0, t1, t2, s3, s4, s5 = (F.unstack(W, i) for i in range(6))
         t3 = F.sub(s3, F.add(t0, t1))  # X1Y2 + X2Y1
         t4 = F.sub(s4, F.add(t0, t2))  # X1Z2 + X2Z1
         t5 = F.sub(s5, F.add(t1, t2))  # Y1Z2 + Y2Z1
 
         if self.a_is_zero:
             # round 1: constant products with 3b
-            m = F.redc(F.prod_cols(b3, jnp.stack([t2, t4])))
-            Z3_, t4b = m[0], m[1]
+            st = F.stack([t2, t4])
+            m = F.redc(F.prod_cols(F.bc(self.b3_dev, st), st))
+            Z3_, t4b = F.unstack(m, 0), F.unstack(m, 1)
             t1n = F.add(F.add(t0, t0), t0)  # 3 X1X2
         else:
             # round 1: constant products; t4n/Z3_ merge in column space
-            consts = np.stack([self.a_dev, b3, b3, self.a_dev, self.neg_a2_dev, self.a_dev])
-            el_rank = 2 if F.degree > 1 else 1
-            batch_rank = t0.ndim - el_rank
-            consts = consts.reshape(6, *([1] * batch_rank), *consts.shape[1:])
-            opnds = jnp.stack([t4, t2, t4, t0, t2, t2])
+            a_c = F.bc(self.a_dev, X1)
+            na2 = F.bc(self.neg_a2_dev, X1)
+            consts = F.stack([a_c, b3, b3, a_c, na2, a_c])
+            opnds = F.stack([t4, t2, t4, t0, t2, t2])
             C = F.prod_cols(consts, opnds)
-            merged = jnp.stack([C[0] + C[1], C[2] + C[3] + C[4], C[5]], axis=0)
+            cs = [_take_stacked_cols(F, C, i) for i in range(6)]
+            merged = _stack_cols(F, [cs[0] + cs[1], cs[2] + cs[3] + cs[4], cs[5]])
             mr = F.redc(merged, 3 * F.prod_nprod)
-            Z3_ = mr[0]  # a t4 + 3b Z1Z2
-            t4b = mr[1]  # 3b t4 + a(X1X2 - a Z1Z2)
-            at2 = mr[2]
+            Z3_ = F.unstack(mr, 0)  # a t4 + 3b Z1Z2
+            t4b = F.unstack(mr, 1)  # 3b t4 + a(X1X2 - a Z1Z2)
+            at2 = F.unstack(mr, 2)
             t1n = F.add(F.add(F.add(t0, t0), t0), at2)  # 3X1X2 + a Z1Z2
         X3_ = F.sub(t1, Z3_)
         Z3p = F.add(t1, Z3_)
 
         # round 2: six products merged pairwise in column space
         t5n = F.neg(t5)
-        A = jnp.stack([X3_, t1n, t3, t5n, t5, t3])
-        Bv = jnp.stack([Z3p, t4b, X3_, t4b, Z3p, t1n])
+        A = F.stack([X3_, t1n, t3, t5n, t5, t3])
+        Bv = F.stack([Z3p, t4b, X3_, t4b, Z3p, t1n])
         C2 = F.prod_cols(A, Bv)
-        merged2 = jnp.stack([C2[0] + C2[1], C2[2] + C2[3], C2[4] + C2[5]], axis=0)
+        c2s = [_take_stacked_cols(F, C2, i) for i in range(6)]
+        merged2 = _stack_cols(F, [c2s[0] + c2s[1], c2s[2] + c2s[3], c2s[4] + c2s[5]])
         R = F.redc(merged2, 2 * F.prod_nprod)
-        return PointVec(x=R[1], y=R[0], z=R[2])
+        return PointVec(x=F.unstack(R, 1), y=F.unstack(R, 0), z=F.unstack(R, 2))
 
     def double(self, p: PointVec) -> PointVec:
         return self.add(p, p)
@@ -235,25 +243,23 @@ class CurveOps:
 
     # -- scalar multiplication --------------------------------------------
     def scalar_bits_msb(self, scalars_raw: jnp.ndarray) -> jnp.ndarray:
-        """(..., Ls) raw 16-bit limb scalars -> (nbits, ...) bit planes,
+        """(Ls, B) raw 16-bit limb scalars -> (nbits, B) bit planes,
         MSB first."""
-        shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
-        bits = (scalars_raw[..., :, None] >> shifts) & jnp.uint32(1)
-        nb = bits.shape[-2] * LIMB_BITS
-        bits = bits.reshape(*bits.shape[:-2], nb)  # LSB first
-        bits = bits[..., : self.scalar_bits]
-        bits = jnp.flip(bits, axis=-1)  # MSB first
-        return jnp.moveaxis(bits, -1, 0).astype(bool)
+        Ls, B = scalars_raw.shape
+        shifts = np.arange(LIMB_BITS, dtype=np.uint32)[None, :, None]
+        bits = (scalars_raw[:, None, :] >> shifts) & np.uint32(1)  # (Ls,16,B)
+        bits = bits.reshape(Ls * LIMB_BITS, B)  # LSB first
+        bits = bits[: self.scalar_bits]
+        return jnp.flip(bits, axis=0).astype(bool)
 
     def scalar_mul(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
         """Batched double-and-add over scalar bits (constant-time selects).
 
-        scalars_raw: (...,) batch of Fr values as raw 16-bit limb arrays
-        (..., Ls) in standard (non-Montgomery) form.
+        scalars_raw: (Ls, B) batch of Fr values as raw 16-bit limb planes
+        in standard (non-Montgomery) form.
         """
         bits = self.scalar_bits_msb(scalars_raw)
-        batch_shape = scalars_raw.shape[:-1]
-        acc0 = self.infinity(batch_shape)
+        acc0 = self.infinity((scalars_raw.shape[-1],))
 
         def step(acc, bit):
             acc = self.add(acc, acc)
@@ -265,17 +271,14 @@ class CurveOps:
 
     # -- normalization -----------------------------------------------------
     def normalize(self, p: PointVec):
-        """Projective -> affine using one batched inversion over the leading
-        axes. Returns (x, y, infinity_mask)."""
+        """Projective -> affine using one batched inversion over the
+        (flattened) batch axes. Returns (x, y, infinity_mask)."""
         F = self.field
         z = p["z"]
-        batch_shape = z.shape[: -1 if F.degree == 1 else -2]
-        flat = lambda arr: arr.reshape((-1, *arr.shape[len(batch_shape) :]))
-        zf = flat(z)
-        if zf.shape[0] == 0:
-            inv_z = zf
-        else:
-            inv_z = _generic_batch_inv(F, zf)
+        # flatten trailing batch to one axis
+        el_ndim = 1 if F.degree == 1 else 2
+        zf = z.reshape(*z.shape[:el_ndim], -1)
+        inv_z = _generic_batch_inv(F, zf)
         inv_z = inv_z.reshape(z.shape)
         x = F.mul(p["x"], inv_z)
         y = F.mul(p["y"], inv_z)
@@ -283,17 +286,17 @@ class CurveOps:
 
     # -- reductions --------------------------------------------------------
     def sum_reduce(self, p: PointVec) -> PointVec:
-        """Tree-reduce a batch of points (leading axis) to a single point."""
-        n = p["x"].shape[0]
+        """Tree-reduce a batch of points (last axis) to a single point."""
+        n = p["x"].shape[-1]
         while n > 1:
             half = n // 2
-            even = jax.tree_util.tree_map(lambda a: a[: 2 * half : 2], p)
-            odd = jax.tree_util.tree_map(lambda a: a[1 : 2 * half : 2], p)
+            even = jax.tree_util.tree_map(lambda a: a[..., 0 : 2 * half : 2], p)
+            odd = jax.tree_util.tree_map(lambda a: a[..., 1 : 2 * half : 2], p)
             merged = self.add(PointVec(even), PointVec(odd))
             if n % 2:
-                tail = jax.tree_util.tree_map(lambda a: a[-1:], p)
+                tail = jax.tree_util.tree_map(lambda a: a[..., -1:], p)
                 merged = jax.tree_util.tree_map(
-                    lambda a, b: jnp.concatenate([a, b], 0), merged, PointVec(tail)
+                    lambda a, b: jnp.concatenate([a, b], -1), merged, PointVec(tail)
                 )
             p = PointVec(merged)
             n = half + (n % 2)
@@ -307,22 +310,35 @@ class CurveOps:
         return self.sum_reduce(prods)
 
 
+def _stack_cols(F, cols_list):
+    """Stack column-space values along the field's stacking axis."""
+    axis = 1 if F.degree == 1 else 2
+    return jnp.stack(cols_list, axis=axis)
+
+
+def _take_stacked_cols(F, cols, i):
+    axis = 1 if F.degree == 1 else 2
+    return jnp.take(cols, i, axis=axis)
+
+
 def _generic_batch_inv(F, a):
-    """Montgomery-trick batch inversion at the extension-field level:
-    prefix/suffix products via associative scans + one Fermat inversion."""
+    """Montgomery-trick batch inversion at the extension-field level over the
+    LAST axis: prefix/suffix products via associative scans + one Fermat
+    inversion."""
     is_zero = F.is_zero(a)
-    n = a.shape[0]
+    n = a.shape[-1]
     safe = F.select(is_zero, F.ones((n,)), a)
 
     def combine(x, y):
         return F.mul(x, y)
 
-    pre = jax.lax.associative_scan(combine, safe, axis=0)
-    suf = jax.lax.associative_scan(combine, safe, axis=0, reverse=True)
-    inv_total = F.inv(pre[-1:])
-    ones1 = F.ones((1,))
-    pre_excl = jnp.concatenate([ones1, pre[:-1]], axis=0)
-    suf_excl = jnp.concatenate([suf[1:], ones1], axis=0)
+    ax = safe.ndim - 1
+    pre = jax.lax.associative_scan(combine, safe, axis=ax)
+    suf = jax.lax.associative_scan(combine, safe, axis=ax, reverse=True)
+    inv_total = F.inv(pre[..., -1:])
+    ones1 = np.asarray(F.ones((1,)))
+    pre_excl = jnp.concatenate([jnp.broadcast_to(ones1, pre[..., :1].shape), pre[..., :-1]], axis=-1)
+    suf_excl = jnp.concatenate([suf[..., 1:], jnp.broadcast_to(ones1, suf[..., :1].shape)], axis=-1)
     out = F.mul(F.mul(pre_excl, suf_excl), jnp.broadcast_to(inv_total, a.shape))
     return F.select(is_zero, F.zeros((n,)), out)
 

@@ -1,17 +1,23 @@
 """Extension-field ops on device (Fp2 / Fp3 towers over FpOps limb vectors).
 
-Element layout: (..., d, L) uint32 Montgomery limbs, d = extension degree.
-A uniform protocol (mul/add/sub/neg/sqr/inv/select/...) lets the curve group
-law (curve_jax.py) be generic over Fp, Fp2 and Fp3 coordinates — one set of
-complete-formula kernels serves G1 and G2 of all five curves.
+Element layout (limbs-leading, batch-trailing — see fp_jax.py):
+  Fp  : (L, *batch)
+  Fp2 : (L, 2, *batch)
+  Fp3 : (L, 3, *batch)
+The coefficient axis sits between the limb axis and the batch axes, so plain
+FpOps elementwise ops (add/sub/carry/select) apply unchanged — everything
+after axis 0 is batch to them — while per-coefficient ops slice axis 1.
+
+A uniform protocol (mul/add/sub/neg/sqr/inv/select/stack/...) lets the curve
+group law (curve_jax.py) be generic over Fp, Fp2 and Fp3 coordinates — one
+set of complete-formula kernels serves G1 and G2 of all five curves.
 
 Compile/runtime design: multiplication goes through a *column-space* pipeline
 (`prod_cols` -> merge -> `redc`): one stacked limb-product per mul round and
 one Montgomery reduction per output coefficient, instead of 3-9 sequential
-full Montgomery muls. Independent muls stack along a leading axis (the curve
-group law batches 6 at a time), keeping XLA graphs small and TPU ops large.
-Negative tower non-residues are handled by negating one *input* (exact) so
-column accumulations never go negative.
+full Montgomery muls. Independent muls stack along a batch axis (`stack`),
+keeping XLA graphs small and TPU ops large. Negative tower non-residues are
+handled by negating one *input* (exact) so columns never go negative.
 """
 
 from __future__ import annotations
@@ -23,7 +29,7 @@ from .fp_jax import FpOps
 
 
 class BaseFieldOps:
-    """Degree-1 'extension': direct passthrough to FpOps; layout (..., L)."""
+    """Degree-1 'extension': direct passthrough to FpOps; layout (L, *batch)."""
 
     degree = 1
 
@@ -38,6 +44,18 @@ class BaseFieldOps:
     def ones(self, shape=()):
         return self.fp.ones(shape)
 
+    def bc(self, c, like):
+        """Broadcast-reshape a (L,) or (L, 1) constant against `like`."""
+        c = np.asarray(c)
+        return c.reshape(self.fp.L, *([1] * (like.ndim - 1)))
+
+    def stack(self, elems):
+        """Stack independent elements along a new first batch axis (axis 1)."""
+        return jnp.stack(elems, axis=1)
+
+    def unstack(self, arr, i):
+        return arr[:, i]
+
     def add(self, a, b):
         return self.fp.add(a, b)
 
@@ -48,8 +66,7 @@ class BaseFieldOps:
         return self.fp.neg(a)
 
     def prod_cols(self, a, b):
-        """Column-space product: (..., 2L) non-negative columns."""
-        a, b = jnp.broadcast_arrays(a, b)
+        """Column-space product: (2L, *batch) non-negative columns."""
         return self.fp.school_cols(a, b)
 
     def redc(self, cols, nprod: int = None):
@@ -76,8 +93,8 @@ class BaseFieldOps:
     def select(self, cond, a, b):
         return self.fp.select(cond, a, b)
 
-    def from_coeffs(self, host_vals, shape=None):
-        """host_vals: list of int tuples of length 1 (or plain ints)."""
+    def from_coeffs(self, host_vals):
+        """list of int tuples (or ints) -> (L, n) host numpy Montgomery."""
         vals = [v[0] if isinstance(v, (tuple, list)) else v for v in host_vals]
         return self.fp.from_int(vals)
 
@@ -85,8 +102,71 @@ class BaseFieldOps:
         return [(v,) for v in self.fp.to_int(a)]
 
 
-class QuadFieldOps:
-    """Fp2 = Fp[u]/(u^2 - nr); layout (..., 2, L)."""
+class _ExtCommon:
+    def zeros(self, shape=()):
+        return self.fp.zeros((self.degree, *shape))
+
+    def ones(self, shape=()):
+        z = self.zeros(shape)
+        z[:, 0] = self.fp.ones(shape)
+        return z
+
+    def bc(self, c, like):
+        """Broadcast-reshape a (L, d) or (L, d, 1) constant against `like`."""
+        c = np.asarray(c)
+        return c.reshape(self.fp.L, self.degree, *([1] * (like.ndim - 2)))
+
+    def stack(self, elems):
+        """Stack independent elements along a new first batch axis (axis 2)."""
+        return jnp.stack(elems, axis=2)
+
+    def unstack(self, arr, i):
+        return arr[:, :, i]
+
+    def add(self, a, b):
+        return self.fp.add(a, b)
+
+    def sub(self, a, b):
+        return self.fp.sub(a, b)
+
+    def neg(self, a):
+        return self.fp.neg(a)
+
+    def redc(self, cols, nprod: int = None):
+        return self.fp.redc_cols(cols, nprod if nprod is not None else self.prod_nprod)
+
+    def mul(self, a, b):
+        return self.redc(self.prod_cols(a, b))
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_small(self, a, k):
+        return self.fp.mul_small(a, k)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(0, 1))
+
+    def eq(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        return jnp.all(a == b, axis=(0, 1))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond, a, b)
+
+    def from_coeffs(self, host_vals):
+        """list of d-tuples -> (L, d, n) host numpy Montgomery."""
+        cs = [self.fp.from_int([v[i] for v in host_vals]) for i in range(self.degree)]
+        return np.stack(cs, axis=1)
+
+    def to_coeffs(self, a):
+        arr = np.asarray(a)
+        cs = [self.fp.to_int(arr[:, i]) for i in range(self.degree)]
+        return list(zip(*cs))
+
+
+class QuadFieldOps(_ExtCommon):
+    """Fp2 = Fp[u]/(u^2 - nr); layout (L, 2, *batch)."""
 
     degree = 2
 
@@ -95,81 +175,33 @@ class QuadFieldOps:
         self.nr = nonresidue if nonresidue <= fp.modulus // 2 else nonresidue - fp.modulus
         self.prod_nprod = max(1 + abs(self.nr), 2)
 
-    def zeros(self, shape=()):
-        return self.fp.zeros((*shape, 2))
-
-    def ones(self, shape=()):
-        z = self.zeros(shape)
-        z[..., 0, :] = self.fp.ones(shape)
-        return z
-
-    def add(self, a, b):
-        return self.fp.add(a, b)
-
-    def sub(self, a, b):
-        return self.fp.sub(a, b)
-
-    def neg(self, a):
-        return self.fp.neg(a)
-
     def prod_cols(self, a, b):
-        """Schoolbook product as (..., 2, 2L) non-negative columns — ONE
+        """Schoolbook product as (2L, 2, *batch) non-negative columns — ONE
         stacked limb multiply (4 products), nr folded with |nr| weight and a
         pre-negated input when nr < 0."""
         fp = self.fp
         a, b = jnp.broadcast_arrays(a, b)
-        a0, a1 = a[..., 0, :], a[..., 1, :]
-        b0, b1 = b[..., 0, :], b[..., 1, :]
+        a0, a1 = a[:, 0], a[:, 1]
+        b0, b1 = b[:, 0], b[:, 1]
         nr = self.nr
         a1w = fp.neg(a1) if nr < 0 else a1
-        U = jnp.stack([a0, a1w, a0, a1], axis=0)
-        V = jnp.stack([b0, b1, b1, b0], axis=0)
-        W = fp.school_cols(U, V)  # (4, ..., 2L)
-        c0 = W[0] + jnp.uint32(abs(nr)) * W[1]
-        c1 = W[2] + W[3]
-        return jnp.stack([c0, c1], axis=-2)
-
-    def redc(self, cols, nprod: int = None):
-        return self.fp.redc_cols(cols, nprod if nprod is not None else self.prod_nprod)
-
-    def mul(self, a, b):
-        return self.redc(self.prod_cols(a, b))
-
-    def sqr(self, a):
-        return self.mul(a, a)
-
-    def mul_small(self, a, k):
-        return self.fp.mul_small(a, k)
+        U = jnp.stack([a0, a1w, a0, a1], axis=1)
+        V = jnp.stack([b0, b1, b1, b0], axis=1)
+        W = fp.school_cols(U, V)  # (2L, 4, *batch)
+        c0 = W[:, 0] + np.uint32(abs(nr)) * W[:, 1]
+        c1 = W[:, 2] + W[:, 3]
+        return jnp.stack([c0, c1], axis=1)
 
     def inv(self, a):
         fp = self.fp
-        a0, a1 = a[..., 0, :], a[..., 1, :]
+        a0, a1 = a[:, 0], a[:, 1]
         norm = fp.sub(fp.mont_sqr(a0), _nr_mul(fp, fp.mont_sqr(a1), self.nr))
         ninv = fp.inv(norm)
-        return jnp.stack([fp.mont_mul(a0, ninv), fp.neg(fp.mont_mul(a1, ninv))], axis=-2)
-
-    def is_zero(self, a):
-        return jnp.all(a == 0, axis=(-1, -2))
-
-    def eq(self, a, b):
-        return jnp.all(a == b, axis=(-1, -2))
-
-    def select(self, cond, a, b):
-        return jnp.where(cond[..., None, None], a, b)
-
-    def from_coeffs(self, host_vals, shape=None):
-        c0 = self.fp.from_int([v[0] for v in host_vals])
-        c1 = self.fp.from_int([v[1] for v in host_vals])
-        return np.stack([c0, c1], axis=-2)
-
-    def to_coeffs(self, a):
-        c0 = self.fp.to_int(a[..., 0, :])
-        c1 = self.fp.to_int(a[..., 1, :])
-        return list(zip(c0, c1))
+        return jnp.stack([fp.mont_mul(a0, ninv), fp.neg(fp.mont_mul(a1, ninv))], axis=1)
 
 
-class CubicFieldOps:
-    """Fp3 = Fp[u]/(u^3 - nr); layout (..., 3, L)."""
+class CubicFieldOps(_ExtCommon):
+    """Fp3 = Fp[u]/(u^3 - nr); layout (L, 3, *batch)."""
 
     degree = 3
 
@@ -178,25 +210,8 @@ class CubicFieldOps:
         self.nr = nonresidue if nonresidue <= fp.modulus // 2 else nonresidue - fp.modulus
         self.prod_nprod = max(1 + 2 * abs(self.nr), 2 + abs(self.nr), 3)
 
-    def zeros(self, shape=()):
-        return self.fp.zeros((*shape, 3))
-
-    def ones(self, shape=()):
-        z = self.zeros(shape)
-        z[..., 0, :] = self.fp.ones(shape)
-        return z
-
-    def add(self, a, b):
-        return self.fp.add(a, b)
-
-    def sub(self, a, b):
-        return self.fp.sub(a, b)
-
-    def neg(self, a):
-        return self.fp.neg(a)
-
     def prod_cols(self, a, b):
-        """Schoolbook product as (..., 3, 2L) non-negative columns — ONE
+        """Schoolbook product as (2L, 3, *batch) non-negative columns — ONE
         stacked limb multiply (9 products).
 
         c0 = a0b0 + nr(a1b2 + a2b1)
@@ -205,37 +220,25 @@ class CubicFieldOps:
         """
         fp = self.fp
         a, b = jnp.broadcast_arrays(a, b)
-        a0, a1, a2 = (a[..., i, :] for i in range(3))
-        b0, b1, b2 = (b[..., i, :] for i in range(3))
+        a0, a1, a2 = (a[:, i] for i in range(3))
+        b0, b1, b2 = (b[:, i] for i in range(3))
         nr = self.nr
         if nr < 0:
             a1w, a2w = fp.neg(a1), fp.neg(a2)
         else:
             a1w, a2w = a1, a2
-        U = jnp.stack([a0, a1w, a2w, a0, a1, a2w, a0, a2, a1], axis=0)
-        V = jnp.stack([b0, b2, b1, b1, b0, b2, b2, b0, b1], axis=0)
-        W = fp.school_cols(U, V)  # (9, ..., 2L)
-        w = jnp.uint32(abs(nr))
-        c0 = W[0] + w * (W[1] + W[2])
-        c1 = W[3] + W[4] + w * W[5]
-        c2 = W[6] + W[7] + W[8]
-        return jnp.stack([c0, c1, c2], axis=-2)
-
-    def redc(self, cols, nprod: int = None):
-        return self.fp.redc_cols(cols, nprod if nprod is not None else self.prod_nprod)
-
-    def mul(self, a, b):
-        return self.redc(self.prod_cols(a, b))
-
-    def sqr(self, a):
-        return self.mul(a, a)
-
-    def mul_small(self, a, k):
-        return self.fp.mul_small(a, k)
+        U = jnp.stack([a0, a1w, a2w, a0, a1, a2w, a0, a2, a1], axis=1)
+        V = jnp.stack([b0, b2, b1, b1, b0, b2, b2, b0, b1], axis=1)
+        W = fp.school_cols(U, V)  # (2L, 9, *batch)
+        w = np.uint32(abs(nr))
+        c0 = W[:, 0] + w * (W[:, 1] + W[:, 2])
+        c1 = W[:, 3] + W[:, 4] + w * W[:, 5]
+        c2 = W[:, 6] + W[:, 7] + W[:, 8]
+        return jnp.stack([c0, c1, c2], axis=1)
 
     def inv(self, a):
         fp = self.fp
-        a0, a1, a2 = (a[..., i, :] for i in range(3))
+        a0, a1, a2 = (a[:, i] for i in range(3))
         nrm = lambda x: _nr_mul(fp, x, self.nr)
         t0 = fp.sub(fp.mont_sqr(a0), nrm(fp.mont_mul(a1, a2)))
         t1 = fp.sub(nrm(fp.mont_sqr(a2)), fp.mont_mul(a0, a1))
@@ -247,25 +250,8 @@ class CubicFieldOps:
         ninv = fp.inv(norm)
         return jnp.stack(
             [fp.mont_mul(t0, ninv), fp.mont_mul(t1, ninv), fp.mont_mul(t2, ninv)],
-            axis=-2,
+            axis=1,
         )
-
-    def is_zero(self, a):
-        return jnp.all(a == 0, axis=(-1, -2))
-
-    def eq(self, a, b):
-        return jnp.all(a == b, axis=(-1, -2))
-
-    def select(self, cond, a, b):
-        return jnp.where(cond[..., None, None], a, b)
-
-    def from_coeffs(self, host_vals, shape=None):
-        cs = [self.fp.from_int([v[i] for v in host_vals]) for i in range(3)]
-        return np.stack(cs, axis=-2)
-
-    def to_coeffs(self, a):
-        cs = [self.fp.to_int(a[..., i, :]) for i in range(3)]
-        return list(zip(*cs))
 
 
 def _nr_mul(fp: FpOps, a, nr: int):

@@ -71,7 +71,7 @@ def _rng_scalars(n: int, r: int, rng=None) -> np.ndarray:
         vals = [secrets.randbelow(r) for _ in range(n)]
     else:
         vals = [rng.randrange(r) for _ in range(n)]
-    return np.asarray(ints_to_limbs_batch(vals, L))
+    return np.ascontiguousarray(ints_to_limbs_batch(vals, L).T)  # (Ls, n)
 
 
 def _rng_scalars_padded(n: int, pad: int, r: int, rng=None) -> np.ndarray:
@@ -82,7 +82,7 @@ def _rng_scalars_padded(n: int, pad: int, r: int, rng=None) -> np.ndarray:
         from ..fields.limb import LimbSpec
 
         out = np.concatenate(
-            [out, np.zeros((pad - n, LimbSpec(r).n_limbs), np.uint32)], axis=0
+            [out, np.zeros((LimbSpec(r).n_limbs, pad - n), np.uint32)], axis=1
         )
     return out
 
@@ -212,7 +212,7 @@ class Phase1:
                     vals = list(exp_ints[:n]) + [0] * (pad - n)
                     if coeff is not None:
                         vals = [v * coeff % spec.r for v in vals]
-                    raw = np.asarray(ints_to_limbs_batch(vals, fr.L))
+                    raw = np.ascontiguousarray(ints_to_limbs_batch(vals, fr.L).T)
                 else:
                     s, e = exp_range
                     raw = _tau_powers_raw(fr, key.tau, s, s + pad, coeff)
@@ -815,9 +815,9 @@ def _tau_powers_raw(fr, tau: int, start: int, end: int, coeff: int | None) -> np
     one jitted call (pow + coeff mul + Montgomery->standard conversion).
 
     Replaces generate_powers_of_tau (helpers.rs:32-37)."""
-    tau_mont = fr.from_int(tau)
+    tau_mont = fr.from_int(tau)[:, None]
     exps = np.arange(start, end, dtype=np.uint32)
-    cm = fr.from_int(coeff) if coeff is not None else np.asarray(fr.one_mont_np)
+    cm = fr.from_int(coeff)[:, None] if coeff is not None else np.asarray(fr.one_mont_np)
     return np.asarray(_pow_u32(fr, tau_mont, exps, cm))
 
 
@@ -834,9 +834,11 @@ def _pow_u32(fr, base_mont, exps_u32, coeff_mont):
     if key not in _pow_u32_cache:
 
         def f(base, exps, cm):
-            bits = jnp.flip((exps[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1, -1)
-            bits = jnp.moveaxis(bits, -1, 0).astype(bool)
-            acc = jnp.broadcast_to(jnp.asarray(fr.one_mont_np), (exps.shape[0], fr.L))
+            # (32, n) bit planes, MSB first
+            bits = jnp.flip(
+                (exps[None, :] >> np.arange(32, dtype=np.uint32)[:, None]) & 1, 0
+            ).astype(bool)
+            acc = jnp.broadcast_to(fr.one_mont_np, (fr.L, exps.shape[0]))
 
             def step(acc, bit):
                 acc = fr.mont_sqr(acc)
@@ -864,8 +866,8 @@ def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
         def f(p, scalars):
             import jax.tree_util as jtu
 
-            head = PointVec(jtu.tree_map(lambda a: a[:-1], dict(p)))
-            tail = PointVec(jtu.tree_map(lambda a: a[1:], dict(p)))
+            head = PointVec(jtu.tree_map(lambda a: a[..., :-1], dict(p)))
+            tail = PointVec(jtu.tree_map(lambda a: a[..., 1:], dict(p)))
             s = ops.msm(head, scalars)
             sx = ops.msm(tail, scalars)
             return s, sx
@@ -908,7 +910,7 @@ def _rng_scalars_bits(n: int, bits: int) -> np.ndarray:
 
     L = -(-bits // LIMB_BITS)
     vals = [secrets.randbits(bits) for _ in range(n)]
-    return np.asarray(ints_to_limbs_batch(vals, L))
+    return np.ascontiguousarray(ints_to_limbs_batch(vals, L).T)
 
 
 def _recode_section(

@@ -1,6 +1,7 @@
 """Test configuration: force an 8-virtual-device CPU mesh so sharding tests
 run without TPU hardware (the axon TPU plugin ignores JAX_PLATFORMS, so we
-set JAX_PLATFORM_NAME as well — must happen before jax import)."""
+set JAX_PLATFORM_NAME as well — must happen before jax import). A persistent
+XLA compilation cache amortizes the large scan-kernel compiles across runs."""
 
 import os
 import sys
@@ -13,4 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SNARK_SETUP_JAX_CACHE", os.path.join(_repo, ".jax_cache"))
+sys.path.insert(0, _repo)
