@@ -46,6 +46,14 @@ class VerificationError(Error):
     """Reference `VerificationError` (errors.rs)."""
 
 
+class VerificationFailedError(VerificationError):
+    """Fatal ceremony verification failure.
+
+    Reference: panic!("INVALID CONTRIBUTION!!!") in
+    phase1-cli/src/transform_pok_and_correctness.rs:196.
+    """
+
+
 class InvalidRatioError(VerificationError):
     def __init__(self, context: str):
         super().__init__(f"invalid ratio: {context}")
