@@ -83,6 +83,8 @@ class InvariantKind(enum.Enum):
     L_QUERY = "LQuery"
     TRANSCRIPT = "Transcript"
     CONTRIBUTION_COUNT = "ContributionCount"
+    CS_HASH = "CsHash"
+    CONTRIBUTIONS = "Contributions"
 
 
 class Phase2Error(Error):
@@ -101,3 +103,8 @@ class NoContributionsError(Phase2Error):
 
 class InvalidTranscriptError(Phase2Error):
     pass
+
+
+class UnconstrainedVariableError(Phase2Error):
+    """A witness variable has an all-zero L query row
+    (SynthesisError::UnconstrainedVariable, parameters.rs:132-135)."""
