@@ -35,7 +35,11 @@ def main():
     from snark_setup_tpu.fields.limb import ints_to_limbs_batch
     from snark_setup_tpu.ops.curve_jax import curve_ops
 
-    batch = int(os.environ.get("SNARK_BENCH_BATCH", "2048"))
+    # On TPU backends the pallas stacked-Montgomery kernel auto-engages
+    # (ops/pallas_field.py) and throughput saturates ~16k batch
+    # (2026-08-19 sweep: 512:11974, 2048:23017, 8192:30393, 16384:32442,
+    # 32768:32493 exp/s). The jnp fallback path peaks at 512 (4114 exp/s).
+    batch = int(os.environ.get("SNARK_BENCH_BATCH", "16384"))
     reps = int(os.environ.get("SNARK_BENCH_REPS", "3"))
 
     ops = curve_ops("bls12_377", "g1")

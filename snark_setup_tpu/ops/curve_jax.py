@@ -176,7 +176,9 @@ class CurveOps:
 
     # -- group law ---------------------------------------------------------
     def add(self, p: PointVec, q: PointVec) -> PointVec:
-        """RCB complete addition in three stacked multiplication rounds."""
+        """RCB complete addition in three stacked multiplication rounds.
+        Every round is one F.mul_stacked call (stacked products + weighted
+        column merge + single REDC) — on TPU a fused pallas kernel."""
         F = self.field
         X1, Y1, Z1 = p["x"], p["y"], p["z"]
         X2, Y2, Z2 = q["x"], q["y"], q["z"]
@@ -185,7 +187,7 @@ class CurveOps:
         # round 0: the six symmetric products
         U = F.stack([X1, Y1, Z1, F.add(X1, Y1), F.add(X1, Z1), F.add(Y1, Z1)])
         V = F.stack([X2, Y2, Z2, F.add(X2, Y2), F.add(X2, Z2), F.add(Y2, Z2)])
-        W = F.redc(F.prod_cols(U, V))
+        W = F.mul_stacked(U, V, _ID6, F.prod_nprod)
         t0, t1, t2, s3, s4, s5 = (F.unstack(W, i) for i in range(6))
         t3 = F.sub(s3, F.add(t0, t1))  # X1Y2 + X2Y1
         t4 = F.sub(s4, F.add(t0, t2))  # X1Z2 + X2Z1
@@ -194,19 +196,24 @@ class CurveOps:
         if self.a_is_zero:
             # round 1: constant products with 3b
             st = F.stack([t2, t4])
-            m = F.redc(F.prod_cols(F.bc(self.b3_dev, st), st))
+            m = F.mul_stacked(
+                jnp.broadcast_to(F.bc(self.b3_dev, st), st.shape), st, _ID2, F.prod_nprod
+            )
             Z3_, t4b = F.unstack(m, 0), F.unstack(m, 1)
             t1n = F.add(F.add(t0, t0), t0)  # 3 X1X2
         else:
-            # round 1: constant products; t4n/Z3_ merge in column space
+            # round 1: constant products, 3-group weighted merge
             a_c = F.bc(self.a_dev, X1)
             na2 = F.bc(self.neg_a2_dev, X1)
-            consts = F.stack([a_c, b3, b3, a_c, na2, a_c])
+            bc = lambda c: jnp.broadcast_to(c, X1.shape)
+            consts = F.stack([bc(a_c), bc(b3), bc(b3), bc(a_c), bc(na2), bc(a_c)])
             opnds = F.stack([t4, t2, t4, t0, t2, t2])
-            C = F.prod_cols(consts, opnds)
-            cs = [_take_stacked_cols(F, C, i) for i in range(6)]
-            merged = _stack_cols(F, [cs[0] + cs[1], cs[2] + cs[3] + cs[4], cs[5]])
-            mr = F.redc(merged, 3 * F.prod_nprod)
+            mr = F.mul_stacked(
+                consts,
+                opnds,
+                ((1, 1, 0, 0, 0, 0), (0, 0, 1, 1, 1, 0), (0, 0, 0, 0, 0, 1)),
+                3 * F.prod_nprod,
+            )
             Z3_ = F.unstack(mr, 0)  # a t4 + 3b Z1Z2
             t4b = F.unstack(mr, 1)  # 3b t4 + a(X1X2 - a Z1Z2)
             at2 = F.unstack(mr, 2)
@@ -214,18 +221,60 @@ class CurveOps:
         X3_ = F.sub(t1, Z3_)
         Z3p = F.add(t1, Z3_)
 
-        # round 2: six products merged pairwise in column space
+        # round 2: six products merged pairwise
         t5n = F.neg(t5)
         A = F.stack([X3_, t1n, t3, t5n, t5, t3])
         Bv = F.stack([Z3p, t4b, X3_, t4b, Z3p, t1n])
-        C2 = F.prod_cols(A, Bv)
-        c2s = [_take_stacked_cols(F, C2, i) for i in range(6)]
-        merged2 = _stack_cols(F, [c2s[0] + c2s[1], c2s[2] + c2s[3], c2s[4] + c2s[5]])
-        R = F.redc(merged2, 2 * F.prod_nprod)
+        R = F.mul_stacked(
+            A,
+            Bv,
+            ((1, 1, 0, 0, 0, 0), (0, 0, 1, 1, 0, 0), (0, 0, 0, 0, 1, 1)),
+            2 * F.prod_nprod,
+        )
         return PointVec(x=F.unstack(R, 1), y=F.unstack(R, 0), z=F.unstack(R, 2))
 
     def double(self, p: PointVec) -> PointVec:
-        return self.add(p, p)
+        """Complete doubling. For a=0 curves uses the dedicated RCB
+        doubling (eprint 2015/1060 Algorithm 9): 9 field muls in three
+        stacked rounds vs the 14 of the complete add — the dominant cost of
+        scalar multiplication. a != 0 falls back to add(p, p)."""
+        if not self.a_is_zero:
+            return self.add(p, p)
+        F = self.field
+        X, Y, Z = p["x"], p["y"], p["z"]
+        b3 = F.bc(self.b3_dev, X)
+
+        # round 0: t0=Y^2, t1=YZ, m3=XY, t2=Z^2
+        U = F.stack([Y, Y, X, Z])
+        V = F.stack([Y, Z, Y, Z])
+        W = F.mul_stacked(U, V, _ID4, F.prod_nprod)
+        t0, t1, m3, t2 = (F.unstack(W, i) for i in range(4))
+        z3a = F.mul_small(t0, 8)
+
+        # round 1: c = 3b * Z^2
+        c = F.unstack(
+            F.mul_stacked(
+                F.stack([jnp.broadcast_to(b3, t2.shape)]),
+                F.stack([t2]),
+                ((1,),),
+                F.prod_nprod,
+            ),
+            0,
+        )
+
+        t0p = F.sub(t0, F.mul_small(c, 3))
+        y3sum = F.add(t0, c)
+
+        # round 2: X3=c*z3a, Z3=t1*z3a, Y3a=t0p*y3sum, X3b=t0p*m3
+        U2 = F.stack([c, t1, t0p, t0p])
+        V2 = F.stack([z3a, z3a, y3sum, m3])
+        W2 = F.mul_stacked(U2, V2, _ID4, F.prod_nprod)
+        x3, z3, y3a, x3b = (F.unstack(W2, i) for i in range(4))
+        return PointVec(
+            x=F.add(x3b, x3b),
+            y=F.add(x3, y3a),
+            z=z3,
+        )
 
     def neg(self, p: PointVec) -> PointVec:
         return PointVec(x=p["x"], y=self.field.neg(p["y"]), z=p["z"])
@@ -252,8 +301,9 @@ class CurveOps:
         bits = bits[: self.scalar_bits]
         return jnp.flip(bits, axis=0).astype(bool)
 
-    def scalar_mul(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
+    def scalar_mul_binary(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
         """Batched double-and-add over scalar bits (constant-time selects).
+        Kept as the simple oracle for the windowed kernel below.
 
         scalars_raw: (Ls, B) batch of Fr values as raw 16-bit limb planes
         in standard (non-Montgomery) form.
@@ -262,11 +312,70 @@ class CurveOps:
         acc0 = self.infinity((scalars_raw.shape[-1],))
 
         def step(acc, bit):
-            acc = self.add(acc, acc)
+            acc = self.double(acc)
             added = self.add(acc, p)
             return self.select(bit, added, acc), None
 
         acc, _ = jax.lax.scan(step, acc0, bits)
+        return acc
+
+    WINDOW = 4
+
+    def scalar_digits_msb(self, scalars_raw: jnp.ndarray, w: int) -> jnp.ndarray:
+        """(Ls, B) raw 16-bit limb scalars -> (nwin, B) w-bit digits, MSB
+        first (w must divide LIMB_BITS)."""
+        assert LIMB_BITS % w == 0
+        Ls, B = scalars_raw.shape
+        per = LIMB_BITS // w
+        shifts = (w * np.arange(per, dtype=np.uint32))[None, :, None]
+        digs = (scalars_raw[:, None, :] >> shifts) & np.uint32((1 << w) - 1)
+        digs = digs.reshape(Ls * per, B)  # LSB-first digit order
+        nwin = -(-self.scalar_bits // w)
+        digs = digs[:nwin]
+        return jnp.flip(digs, axis=0)
+
+    def scalar_mul(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
+        """Batched fixed-window scalar multiplication (w=4), the batch_exp
+        hot kernel (setup-utils/src/helpers.rs:75-140 replacement).
+
+        Per batch element: a 16-entry multiples table (1 double + 13 adds),
+        then ceil(bits/4) windows of 4 doublings + one constant-time
+        masked-sum table select + one complete add. vs binary double-and-add
+        this trades 253 adds for ~77, and every doubling uses the cheap
+        dedicated a=0 formula where available.
+        """
+        w = self.WINDOW
+        digits = self.scalar_digits_msb(scalars_raw, w)
+        B = scalars_raw.shape[-1]
+
+        # multiples table T[j] = j*P, j in [0, 2^w), stacked on a new axis 0
+        table = [self.infinity((B,)), p]
+        table.append(self.double(p))
+        for j in range(3, 1 << w):
+            table.append(self.add(table[j - 1], p))
+        table_arr = {
+            k: jnp.stack([jnp.broadcast_to(t[k], table[1][k].shape) for t in table], axis=0)
+            for k in ("x", "y", "z")
+        }
+
+        def select_entry(digit):
+            # constant-time masked sum over the 16 rows (exactly one match)
+            out = {}
+            for k, arr in table_arr.items():
+                acc = jnp.zeros_like(arr[0])
+                for j in range(1 << w):
+                    acc = acc + jnp.where(digit == np.uint32(j), arr[j], 0)
+                out[k] = acc
+            return PointVec(out)
+
+        acc0 = self.infinity((B,))
+
+        def step(acc, digit):
+            for _ in range(w):
+                acc = self.double(acc)
+            return self.add(acc, select_entry(digit)), None
+
+        acc, _ = jax.lax.scan(step, acc0, digits)
         return acc
 
     # -- normalization -----------------------------------------------------
@@ -310,15 +419,13 @@ class CurveOps:
         return self.sum_reduce(prods)
 
 
-def _stack_cols(F, cols_list):
-    """Stack column-space values along the field's stacking axis."""
-    axis = 1 if F.degree == 1 else 2
-    return jnp.stack(cols_list, axis=axis)
+def _identity_weights(n: int) -> tuple:
+    return tuple(tuple(1 if i == j else 0 for j in range(n)) for i in range(n))
 
 
-def _take_stacked_cols(F, cols, i):
-    axis = 1 if F.degree == 1 else 2
-    return jnp.take(cols, i, axis=axis)
+_ID2 = _identity_weights(2)
+_ID4 = _identity_weights(4)
+_ID6 = _identity_weights(6)
 
 
 def _generic_batch_inv(F, a):

@@ -101,6 +101,29 @@ class BaseFieldOps:
     def to_coeffs(self, a):
         return [(v,) for v in self.fp.to_int(a)]
 
+    def mul_stacked(self, U, V, weights: tuple, nprod: int):
+        """G Montgomery products, each a weighted sum of S stacked products:
+        out[:, g] = redc(sum_s weights[g][s] * cols(U_s * V_s)).
+
+        U, V: (L, S, *batch). On a TPU backend this is ONE fused pallas
+        kernel per batch tile (ops/pallas_field.py) — the (L, L, B) product
+        table never leaves VMEM; elsewhere it is the jnp column-space path."""
+        from .pallas_field import pallas_enabled, pallas_mul_for
+
+        if pallas_enabled() and U.ndim == 3:
+            return pallas_mul_for(self.fp.modulus)(U, V, weights)
+        W = self.prod_cols(U, V)  # (2L, S, *batch)
+        groups = []
+        for g_w in weights:
+            acc = None
+            for s, w in enumerate(g_w):
+                if w == 0:
+                    continue
+                term = W[:, s] if w == 1 else np.uint32(w) * W[:, s]
+                acc = term if acc is None else acc + term
+            groups.append(acc)
+        return self.redc(jnp.stack(groups, axis=1), nprod)
+
 
 class _ExtCommon:
     def zeros(self, shape=()):
@@ -163,6 +186,22 @@ class _ExtCommon:
         arr = np.asarray(a)
         cs = [self.fp.to_int(arr[:, i]) for i in range(self.degree)]
         return list(zip(*cs))
+
+    def mul_stacked(self, U, V, weights: tuple, nprod: int):
+        """Ext-field twin of BaseFieldOps.mul_stacked: U, V (L, d, S, *batch);
+        prod_cols handles the tower merge per stacked element, then the
+        curve-level weighted merge runs over the S axis before one REDC."""
+        W = self.prod_cols(U, V)  # (2L, d, S, *batch)
+        groups = []
+        for g_w in weights:
+            acc = None
+            for s, w in enumerate(g_w):
+                if w == 0:
+                    continue
+                term = W[:, :, s] if w == 1 else np.uint32(w) * W[:, :, s]
+                acc = term if acc is None else acc + term
+            groups.append(acc)
+        return self.redc(jnp.stack(groups, axis=2), nprod)
 
 
 class QuadFieldOps(_ExtCommon):

@@ -12,7 +12,6 @@ compressed buffers)."""
 
 from __future__ import annotations
 
-import secrets
 from dataclasses import dataclass
 
 import numpy as np
@@ -23,9 +22,8 @@ from ..curves.host import g1_curve, g2_curve
 from ..fields.limb import ints_to_limbs_batch
 from ..ops.codec_jax import batch_codec
 from ..ops.curve_jax import curve_ops
-from ..utils.enums import CheckForCorrectness, SubgroupCheckMode, UseCompression
+from ..utils.enums import CheckForCorrectness, UseCompression
 from ..utils.errors import (
-    BrokenInvariantError,
     InvalidLengthError,
     InvariantKind,
     NoContributionsError,

@@ -20,7 +20,6 @@ from ..curves.constants import CurveSpec
 from ..curves.host import AffinePoint, g1_curve, g2_curve
 from ..curves.pairing import pairing_engine
 from ..fields.limb import ints_to_limbs_batch
-from ..ntt.domain import Radix2Domain
 from ..ops.curve_jax import CurveOps, PointVec, curve_ops
 from ..transcript.hashing import hash_to_g2
 from ..utils.enums import CheckForCorrectness, SubgroupCheckMode, UseCompression
@@ -156,6 +155,20 @@ class ProvingKey:
 def hash_params(spec: CurveSpec, pk: ProvingKey) -> bytes:
     """Blake2b-512 of the compressed ProvingKey (parameters.rs:677-685)."""
     return hashlib.blake2b(pk.write(spec, UseCompression.YES), digest_size=64).digest()
+
+
+def contains_contribution(contributions: list[bytes], my_contribution: bytes) -> bool:
+    """parameters.rs:590-598 — check a contribution hash appears in a
+    verify() result list."""
+    return any(bytes(c) == bytes(my_contribution) for c in contributions)
+
+
+def _copy_vk(vk: VerifyingKey) -> VerifyingKey:
+    """Fresh VerifyingKey: contribute mutates delta_g2 in place, so chunk
+    ProvingKeys must never share one (the Rust reference clones by value)."""
+    return VerifyingKey(
+        vk.alpha_g1, vk.beta_g2, vk.gamma_g2, vk.delta_g2, list(vk.gamma_abc_g1)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +382,7 @@ class MPCParameters:
             cs_hash = hash_params(spec, pk)
             full = cls(spec, pk, cs_hash, [])
             query = ProvingKey(
-                vk=pk.vk,
+                vk=_copy_vk(pk.vk),
                 beta_g1=pk.beta_g1,
                 delta_g1=pk.delta_g1,
                 a_query=list(pk.a_query),
@@ -387,7 +400,7 @@ class MPCParameters:
                     cls(
                         spec,
                         ProvingKey(
-                            vk=pk.vk,
+                            vk=_copy_vk(pk.vk),
                             beta_g1=pk.beta_g1,
                             delta_g1=pk.delta_g1,
                             a_query=[],
@@ -520,7 +533,7 @@ class MPCParameters:
         combined = MPCParameters(
             spec,
             ProvingKey(
-                vk=first.params.vk,
+                vk=_copy_vk(first.params.vk),
                 beta_g1=first.params.beta_g1,
                 delta_g1=first.params.delta_g1,
                 a_query=list(queries.a_query),

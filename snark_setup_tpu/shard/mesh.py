@@ -82,3 +82,24 @@ def sharded_msm_fn(ops: CurveOps, mesh: Mesh, axis: str = "i"):
         check_rep=False,
     )
     return jax.jit(lambda p, s: PointVec(sm(dict(p), s)))
+
+
+def sharded_group_ifft_fn(curve_name: str, group: str, n: int, mesh: Mesh, axis: str = "i"):
+    """jitted PointVec -> PointVec group-element IFFT with the point batch
+    sharded over the mesh — the distributed prepare_phase2 NTT.
+
+    The butterfly network is expressed as reshapes/slices over the batch
+    axis (ntt/group_fft.py); annotating the input sharding lets XLA's GSPMD
+    partitioner keep the early (shard-local) stages communication-free and
+    insert collective-permutes only for the log2(n_devices) global stages —
+    the all-to-all butterfly exchange of SURVEY §2.3 without hand-written
+    collectives."""
+    from ..ntt.group_fft import group_fft
+    from ..ops.curve_jax import curve_ops
+
+    ops = curve_ops(curve_name, group)
+    gf = group_fft(curve_name, group, n)
+    pspec = _point_spec(ops, axis)
+    pshard = NamedSharding(mesh, pspec)
+    shardings = PointVec(x=pshard, y=pshard, z=pshard)
+    return jax.jit(gf._get(True), in_shardings=(shardings,), out_shardings=shardings)

@@ -136,6 +136,21 @@ def compute_g2_s(
     return hash_to_g2(spec, h.digest())
 
 
+def user_system_randomness(prompt: bool = True) -> bytes:
+    """1024 OS-entropy bytes + optional interactive user entropy, hashed to a
+    64-byte seed (helpers.rs:143-164). `prompt=False` skips the stdin read
+    for non-interactive use."""
+    import os as _os
+    import sys as _sys
+
+    h = hashlib.blake2b(digest_size=64)
+    h.update(_os.urandom(1024))
+    if prompt:
+        print("Type some random text and press [ENTER] to provide additional entropy...")
+        h.update(_sys.stdin.readline().encode())
+    return h.digest()
+
+
 def beacon_randomness_sha256_work(beacon_hash: bytes, n: int = 42, progress=None) -> bytes:
     """2^n SHA-256 iterations with 1024 interstitial checkpoints
     (helpers.rs:166-198). `n` is parameterized for testability; the CLI

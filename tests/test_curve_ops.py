@@ -69,6 +69,35 @@ def test_msm_matches_host():
     assert ops.to_affine_host(out)[0] == expect
 
 
+def test_dedicated_doubling_matches_add():
+    """double() (RCB Alg 9 for a=0) vs add(p, p), incl. infinity."""
+    rng = random.Random(13)
+    ops = curve_ops("bls12_377", "g1")
+    hc = ops.host_curve
+    hpts = [hc.mul(hc.generator, rng.randrange(1, ops.spec.r)) for _ in range(3)]
+    pts = ops.from_affine_host(hpts + [hc.mul(hc.generator, 0)])  # + infinity
+    d = jax.jit(ops.double)(pts)
+    want = [hc.add(h, h) for h in hpts] + [hc.mul(hc.generator, 0)]
+    assert ops.to_affine_host(d) == want
+
+
+def test_windowed_scalar_mul_matches_binary():
+    """The w=4 windowed kernel vs the simple double-and-add oracle, with
+    edge scalars 0 / 1 / r-1."""
+    rng = random.Random(17)
+    ops = curve_ops("bls12_377", "g1")
+    hc = ops.host_curve
+    ks = [0, 1, ops.spec.r - 1, rng.randrange(ops.spec.r)]
+    hpts = [hc.mul(hc.generator, 3 + i) for i in range(len(ks))]
+    pts = ops.from_affine_host(hpts)
+    sc = _scalars(ks, ops)
+    win = ops.to_affine_host(jax.jit(ops.scalar_mul)(pts, sc))
+    binary = ops.to_affine_host(jax.jit(ops.scalar_mul_binary)(pts, sc))
+    host = [hc.mul(p, k) for p, k in zip(hpts, ks)]
+    assert win == host
+    assert binary == host
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("curve", ALL_CURVES)
 @pytest.mark.parametrize("grp", ["g1", "g2"])
