@@ -187,10 +187,77 @@ class _ExtCommon:
         cs = [self.fp.to_int(arr[:, i]) for i in range(self.degree)]
         return list(zip(*cs))
 
+    # tower expansion table: per output coefficient c, a list of
+    # (a_coeff_idx, b_coeff_idx, weight, negate_a) base products — mirrors
+    # prod_cols (QuadFieldOps/CubicFieldOps below)
+    def _tower_products(self):
+        nr = self.nr
+        w = abs(nr)
+        neg = nr < 0
+        if self.degree == 2:
+            return [
+                [(0, 0, 1, False), (1, 1, w, neg)],  # c0 = a0b0 + nr a1b1
+                [(0, 1, 1, False), (1, 0, 1, False)],  # c1 = a0b1 + a1b0
+            ]
+        return [
+            [(0, 0, 1, False), (1, 2, w, neg), (2, 1, w, neg)],
+            [(0, 1, 1, False), (1, 0, 1, False), (2, 2, w, neg)],
+            [(0, 2, 1, False), (2, 0, 1, False), (1, 1, 1, False)],
+        ]
+
     def mul_stacked(self, U, V, weights: tuple, nprod: int):
-        """Ext-field twin of BaseFieldOps.mul_stacked: U, V (L, d, S, *batch);
-        prod_cols handles the tower merge per stacked element, then the
-        curve-level weighted merge runs over the S axis before one REDC."""
+        """Ext-field twin of BaseFieldOps.mul_stacked: U, V (L, d, S, *batch).
+
+        On TPU the tower products flatten into the SAME base-field pallas
+        kernel: every output coefficient of every curve-level group is a
+        weighted sum of base products, so the composite (curve ⊗ tower)
+        weight matrix drives one fused kernel call. Fallback: prod_cols
+        handles the tower merge per stacked element, then the curve-level
+        weighted merge runs over the S axis before one REDC."""
+        from .pallas_field import pallas_enabled, pallas_mul_for
+
+        if pallas_enabled() and U.ndim == 4:
+            d = self.degree
+            tower = self._tower_products()
+            S = U.shape[2]
+            G = len(weights)
+            rows_u, rows_v = [], []
+            # base stack order: (s, t) with t enumerating the tower products
+            prods = [(ai, bi, w, na) for c in tower for (ai, bi, w, na) in c]
+            for s in range(S):
+                for ai, bi, _w, na in prods:
+                    au = U[:, ai, s]
+                    rows_u.append(self.fp.neg(au) if na else au)
+                    rows_v.append(V[:, bi, s])
+            Ub = jnp.stack(rows_u, axis=1)  # (L, S*T, B)
+            Vb = jnp.stack(rows_v, axis=1)
+            T = len(prods)
+            # composite weights: out (g, c) sums tower-product t of coeff c
+            # across s with curve weight * tower weight
+            t_of_c = []
+            off = 0
+            for c in range(d):
+                idxs = []
+                for k, _ in enumerate(tower[c]):
+                    idxs.append((off + k, tower[c][k][2]))
+                off += len(tower[c])
+                t_of_c.append(idxs)
+            comp = []
+            for g_w in weights:
+                for c in range(d):
+                    row = [0] * (S * T)
+                    for s, w in enumerate(g_w):
+                        if w == 0:
+                            continue
+                        for t_idx, tw in t_of_c[c]:
+                            row[s * T + t_idx] = w * tw
+                    comp.append(tuple(row))
+            out = pallas_mul_for(self.fp.modulus)(Ub, Vb, tuple(comp))
+            # (L, G*d, B) with index g*d + c -> (L, d, G, B)
+            B = out.shape[-1]
+            L = out.shape[0]
+            return jnp.transpose(out.reshape(L, G, d, B), (0, 2, 1, 3))
+
         W = self.prod_cols(U, V)  # (2L, d, S, *batch)
         groups = []
         for g_w in weights:

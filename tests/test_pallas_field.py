@@ -36,6 +36,46 @@ def test_pallas_mul_stacked_matches_jnp(curve):
         assert got == expect
 
 
+@pytest.mark.parametrize("curve", ["bls12_377", "mnt4_753"])
+def test_pallas_ext_mul_stacked_matches_jnp(curve):
+    """The composite (curve ⊗ tower) flattening for ext fields, interpret
+    mode, vs the jnp prod_cols/redc path."""
+    import jax.numpy as jnp
+
+    from snark_setup_tpu.ops.curve_jax import curve_ops
+    from snark_setup_tpu.ops import pallas_field
+
+    ops = curve_ops(curve, "g2")
+    F = ops.field
+    rng = random.Random(7)
+    d, S, B = F.degree, 3, 5
+    spec = ops.spec
+
+    def rand_el():
+        return tuple(rng.randrange(spec.q) for _ in range(d))
+
+    U = F.from_coeffs([rand_el() for _ in range(S * B)]).reshape(F.fp.L, d, S, B)
+    V = F.from_coeffs([rand_el() for _ in range(S * B)]).reshape(F.fp.L, d, S, B)
+    weights = ((1, 1, 0), (0, 0, 1))
+
+    want = np.asarray(F.mul_stacked(U, V, weights, 3 * F.prod_nprod))
+
+    orig_call = pallas_field.PallasFieldMul.__call__
+
+    def interp_call(self, u, v, w, interpret=False):
+        return orig_call(self, u, v, w, interpret=True)
+
+    pallas_field.PallasFieldMul.__call__ = interp_call
+    orig_enabled = pallas_field.pallas_enabled
+    pallas_field.pallas_enabled = lambda: True
+    try:
+        got = np.asarray(F.mul_stacked(U, V, weights, 3 * F.prod_nprod))
+    finally:
+        pallas_field.PallasFieldMul.__call__ = orig_call
+        pallas_field.pallas_enabled = orig_enabled
+    assert np.array_equal(got, want)
+
+
 def test_pallas_group_law_interpret():
     """Full RCB add through the pallas path (interpret mode) vs host."""
     import os
