@@ -185,6 +185,19 @@ class Phase1:
             c2 = batch_codec(spec.name, "g2")
             fr = g1ops.fr
 
+            # Bounded dispatch pipeline: scalar-muls for up to PIPELINE_DEPTH
+            # batches stay in flight on device before their (synchronizing)
+            # byte write-back, overlapping host packing with device compute —
+            # on the tunneled backend each sync is a full round trip.
+            PIPELINE_DEPTH = 4
+            pending: list[tuple] = []
+
+            def flush(limit: int = 0) -> None:
+                while len(pending) > limit:
+                    codec, section_out, sc, ec, prod, n = pending.pop(0)
+                    out_bytes = codec.write_batch(prod, compressed_output, n_valid=n)
+                    section_out.slice_of(output, sc, ec)[:] = out_bytes
+
             def apply_powers(
                 codec: BatchPointCodec,
                 section_out: Section,
@@ -195,11 +208,11 @@ class Phase1:
                 exp_range: tuple[int, int] | None,
                 coeff: int | None,
             ):
-                """Read [sc,ec) of section, raise to powers, write back.
-                Powers come either from explicit host ints (exp_ints) or a
-                device-generated tau^i range (exp_range=(start,end)). All
-                batches are padded to one fixed shape per section so jitted
-                kernels compile once."""
+                """Read [sc,ec) of section, raise to powers, enqueue the
+                write-back. Powers come either from explicit host ints
+                (exp_ints) or a device-generated tau^i range
+                (exp_range=(start,end)). All batches are padded to one fixed
+                shape per section so jitted kernels compile once."""
                 n = ec - sc
                 pad = parameters.batch_size + 1
                 pts = codec.read_batch(
@@ -215,10 +228,10 @@ class Phase1:
                     raw = np.ascontiguousarray(ints_to_limbs_batch(vals, fr.L).T)
                 else:
                     s, e = exp_range
-                    raw = _tau_powers_raw(fr, key.tau, s, s + pad, coeff)
+                    raw = _tau_powers_raw(fr, key.tau, s, s + pad, coeff, as_numpy=False)
                 prod = _scalar_mul_jit(codec.ops, pts, raw)
-                out_bytes = codec.write_batch(prod, compressed_output, n_valid=n)
-                section_out.slice_of(output, sc, ec)[:] = out_bytes
+                pending.append((codec, section_out, sc, ec, prod, n))
+                flush(limit=PIPELINE_DEPTH - 1)
 
             if parameters.proving_system is ProvingSystem.GROTH16:
                 # beta_g2 single element
@@ -309,6 +322,7 @@ class Phase1:
                     apply_powers(
                         c1, sec_out["tau_g1"], sec_in["tau_g1"], sc, ec, None, (start, end), None
                     )
+            flush()
 
     # ------------------------------------------------------------------
     # Verification (phase1/src/verification.rs:26-500)
@@ -809,16 +823,21 @@ class Phase1:
 # ----------------------------------------------------------------------
 
 
-def _tau_powers_raw(fr, tau: int, start: int, end: int, coeff: int | None) -> np.ndarray:
+def _tau_powers_raw(
+    fr, tau: int, start: int, end: int, coeff: int | None, as_numpy: bool = True
+):
     """Raw (standard-form) limb scalars tau^i (optionally * coeff) for
     i in [start, end), generated on device via 32-bit vectorized pow —
     one jitted call (pow + coeff mul + Montgomery->standard conversion).
+    `as_numpy=False` keeps the result on device (no synchronizing readback —
+    important inside the computation dispatch pipeline).
 
     Replaces generate_powers_of_tau (helpers.rs:32-37)."""
     tau_mont = fr.from_int(tau)[:, None]
     exps = np.arange(start, end, dtype=np.uint32)
     cm = fr.from_int(coeff)[:, None] if coeff is not None else np.asarray(fr.one_mont_np)
-    return np.asarray(_pow_u32(fr, tau_mont, exps, cm))
+    out = _pow_u32(fr, tau_mont, exps, cm)
+    return np.asarray(out) if as_numpy else out
 
 
 _pow_u32_cache = {}
