@@ -21,7 +21,7 @@ from ..utils.enums import (
     SubgroupCheckMode,
 )
 from ..utils.helpers import upgrade_correctness_check_config
-from ..utils.tracing import configure_logging, get_logger
+from ..utils.tracing import configure_logging, get_logger, maybe_profile
 from . import phase1_cmds
 
 logger = get_logger("snark_setup_tpu.cli.phase1")
@@ -163,7 +163,8 @@ def main(argv=None) -> int:
     configure_logging()
     args = build_parser().parse_args(argv)
     try:
-        execute(args)
+        with maybe_profile():
+            execute(args)
     except Exception as e:
         logger.error("%s", e)
         return 1

@@ -16,7 +16,7 @@ from ..curves.constants import get_curve
 from ..transcript.hashing import derive_rng_from_seed, get_rng
 from ..utils.enums import CheckForCorrectness, SubgroupCheckMode
 from ..utils.helpers import upgrade_correctness_check_config
-from ..utils.tracing import configure_logging, get_logger
+from ..utils.tracing import configure_logging, get_logger, maybe_profile
 from . import phase2_cmds
 
 logger = get_logger("snark_setup_tpu.cli.phase2")
@@ -153,7 +153,8 @@ def main(argv=None) -> int:
     configure_logging()
     args = build_parser().parse_args(argv)
     try:
-        execute(args)
+        with maybe_profile():
+            execute(args)
     except Exception as e:
         logger.error("%s", e)
         return 1

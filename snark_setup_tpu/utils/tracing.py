@@ -31,6 +31,21 @@ def get_logger(name: str) -> logging.Logger:
 
 
 @contextlib.contextmanager
+def maybe_profile():
+    """Device-level profiling: when SNARK_SETUP_PROFILE_DIR is set, wrap the
+    command in a jax.profiler trace (TensorBoard format) — the TPU-side
+    analog of the reference's RUST_LOG span timing."""
+    profile_dir = os.environ.get("SNARK_SETUP_PROFILE_DIR")
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(profile_dir):
+        yield
+
+
+@contextlib.contextmanager
 def info_span(name: str, logger: logging.Logger | None = None, **fields):
     """Timed span; equivalent of tracing's info_span! + enter."""
     logger = logger or get_logger("snark_setup_tpu")
