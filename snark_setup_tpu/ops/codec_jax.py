@@ -244,11 +244,27 @@ class BatchPointCodec:
         return ok | self.ops.is_infinity(p)
 
     def subgroup_mask_direct(self, p: PointVec):
-        """r * P == O per element (Direct mode)."""
+        """Prime-order-subgroup membership mask per element (Direct mode).
+
+        On curves whose matched GLV eigenvalue e satisfies e^2 + e + 1 == r
+        exactly (all BLS12 groups), ker(phi - [e]) has order r and equals
+        the subgroup, so `phi(P) == [e]P` decides membership with a
+        HALF-width ladder (see ops/glv.py). Elsewhere this is the classic
+        r * P == O check — via the generic windowed ladder, NOT the GLV one
+        (GLV is only [k mod r]-correct inside the subgroup, and r = 0 mod r
+        would pass everything)."""
+        ops = self.ops
         B = p["x"].shape[-1]
-        scalars = np.broadcast_to(self._r_limbs[:, None], (self.ops.fr.L, B))
-        prod = self.ops.scalar_mul(p, scalars)
-        return self.ops.is_infinity(prod)
+        if ops.glv is not None and ops._endo_check is not None:
+            lam_limbs, lam_bits, lam_neg = ops._endo_check
+            scalars = np.broadcast_to(lam_limbs, (lam_limbs.shape[0], B))
+            lp = ops.scalar_mul_windowed(p, scalars, nbits=lam_bits)
+            if lam_neg:
+                lp = ops.neg(lp)
+            return ops.eq_projective(lp, ops.endo(p))
+        scalars = np.broadcast_to(self._r_limbs[:, None], (ops.fr.L, B))
+        prod = ops.scalar_mul_windowed(p, scalars)
+        return ops.is_infinity(prod)
 
     # -- public batch API --------------------------------------------------
     def read_batch(

@@ -90,6 +90,30 @@ class CurveOps:
         # scalar field
         self.fr = fp_ops(spec.r)
         self.scalar_bits = spec.r.bit_length()
+        # GLV endomorphism (j=0 curves): device decomposition + host consts
+        from .glv import GLVOps, derive_glv
+
+        self.glv = None
+        params = derive_glv(spec.name, group)
+        if params is not None:
+            self.glv = GLVOps(params, self.fr.L)
+            # beta as an Fq Montgomery constant; multiplying every coordinate
+            # limb plane by it applies phi regardless of extension degree
+            # (beta is in the base field, so (a0 + a1 u + ...) * beta is
+            # coefficient-wise)
+            self._glv_beta = self.fq.from_int(params.beta)[:, None]
+            e = params.endo_check_lambda
+            if e is not None:
+                from ..fields.limb import int_to_limbs
+
+                nl = -(-abs(e).bit_length() // LIMB_BITS)
+                self._endo_check = (
+                    int_to_limbs(abs(e), nl)[:, None],
+                    abs(e).bit_length(),
+                    e < 0,
+                )
+            else:
+                self._endo_check = None
 
     # -- constructors ------------------------------------------------------
     def infinity(self, shape=()) -> PointVec:
@@ -321,22 +345,59 @@ class CurveOps:
 
     WINDOW = 4
 
-    def scalar_digits_msb(self, scalars_raw: jnp.ndarray, w: int) -> jnp.ndarray:
+    def scalar_digits_msb(
+        self, scalars_raw: jnp.ndarray, w: int, nbits: int | None = None
+    ) -> jnp.ndarray:
         """(Ls, B) raw 16-bit limb scalars -> (nwin, B) w-bit digits, MSB
-        first (w must divide LIMB_BITS)."""
+        first (w must divide LIMB_BITS). `nbits` bounds the scalar width
+        (defaults to the full scalar-field width)."""
         assert LIMB_BITS % w == 0
         Ls, B = scalars_raw.shape
         per = LIMB_BITS // w
         shifts = (w * np.arange(per, dtype=np.uint32))[None, :, None]
         digs = (scalars_raw[:, None, :] >> shifts) & np.uint32((1 << w) - 1)
         digs = digs.reshape(Ls * per, B)  # LSB-first digit order
-        nwin = -(-self.scalar_bits // w)
+        nwin = -(-(nbits if nbits is not None else self.scalar_bits) // w)
         digs = digs[:nwin]
         return jnp.flip(digs, axis=0)
 
-    def scalar_mul(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
-        """Batched fixed-window scalar multiplication (w=4), the batch_exp
-        hot kernel (setup-utils/src/helpers.rs:75-140 replacement).
+    # -- window table helpers (limbs-leading stacked layout) ----------------
+    def _table_entries(self, p: PointVec) -> list[PointVec]:
+        """Multiples table T[j] = j*P for j in [0, 2^w)."""
+        B = p["x"].shape[-1]
+        table = [self.infinity((B,)), p, self.double(p)]
+        for j in range(3, 1 << self.WINDOW):
+            table.append(self.add(table[j - 1], p))
+        return table
+
+    def _stack_table(self, entries: list[PointVec]) -> dict:
+        """Stack entries along a new batch axis just before the element
+        batch: coords become (L[, d], 2^w, B), so every field op (including
+        the endomorphism's coefficient-wise Fq mul) applies directly."""
+        shape = entries[1]["x"].shape
+        return {
+            k: jnp.stack(
+                [jnp.broadcast_to(t[k], shape) for t in entries], axis=-2
+            )
+            for k in ("x", "y", "z")
+        }
+
+    def _select_entry(self, table_arr: dict, digit: jnp.ndarray) -> PointVec:
+        """Constant-time masked sum over the 2^w table rows (axis -2)."""
+        out = {}
+        for k, arr in table_arr.items():
+            acc = jnp.zeros_like(arr[..., 0, :])
+            for j in range(1 << self.WINDOW):
+                acc = acc + jnp.where(digit == np.uint32(j), arr[..., j, :], 0)
+            out[k] = acc
+        return PointVec(out)
+
+    def scalar_mul_windowed(
+        self, p: PointVec, scalars_raw: jnp.ndarray, nbits: int | None = None
+    ) -> PointVec:
+        """Batched fixed-window scalar multiplication (w=4) over the RAW
+        integer value of the scalars (no mod-r or subgroup assumptions —
+        this is the ladder the Direct subgroup check must use).
 
         Per batch element: a 16-entry multiples table (1 double + 13 adds),
         then ceil(bits/4) windows of 4 doublings + one constant-time
@@ -345,35 +406,111 @@ class CurveOps:
         dedicated a=0 formula where available.
         """
         w = self.WINDOW
-        digits = self.scalar_digits_msb(scalars_raw, w)
+        digits = self.scalar_digits_msb(scalars_raw, w, nbits)
         B = scalars_raw.shape[-1]
-
-        # multiples table T[j] = j*P, j in [0, 2^w), stacked on a new axis 0
-        table = [self.infinity((B,)), p]
-        table.append(self.double(p))
-        for j in range(3, 1 << w):
-            table.append(self.add(table[j - 1], p))
-        table_arr = {
-            k: jnp.stack([jnp.broadcast_to(t[k], table[1][k].shape) for t in table], axis=0)
-            for k in ("x", "y", "z")
-        }
-
-        def select_entry(digit):
-            # constant-time masked sum over the 16 rows (exactly one match)
-            out = {}
-            for k, arr in table_arr.items():
-                acc = jnp.zeros_like(arr[0])
-                for j in range(1 << w):
-                    acc = acc + jnp.where(digit == np.uint32(j), arr[j], 0)
-                out[k] = acc
-            return PointVec(out)
-
+        table_arr = self._stack_table(self._table_entries(p))
         acc0 = self.infinity((B,))
 
         def step(acc, digit):
             for _ in range(w):
                 acc = self.double(acc)
-            return self.add(acc, select_entry(digit)), None
+            return self.add(acc, self._select_entry(table_arr, digit)), None
+
+        acc, _ = jax.lax.scan(step, acc0, digits)
+        return acc
+
+    def _fq_mul_planes(self, arr: jnp.ndarray, const_col: np.ndarray) -> jnp.ndarray:
+        """Multiply every (extension-coefficient x stack) plane of
+        `arr` (L, *mid, B) by a base-field constant, through the fused
+        stacked-mul kernel (pallas on TPU backends)."""
+        L = arr.shape[0]
+        mid = arr.shape[1:-1]
+        B = arr.shape[-1]
+        S = 1
+        for m in mid:
+            S *= m
+        if S == 0:
+            return arr
+        from .ext_jax import make_field_ops
+
+        fq_stack = make_field_ops(self.fq, 1, 0)
+        U = arr.reshape(L, S, B)
+        V = jnp.broadcast_to(const_col.reshape(L, 1, 1), U.shape)
+        W = fq_stack.mul_stacked(U, V, _identity_weights(S), 1)
+        return W.reshape(arr.shape)
+
+    def endo(self, p: PointVec) -> PointVec:
+        """Cube-root endomorphism phi(x, y) = (beta*x, y) on projective
+        coordinates (j=0 curves only). beta is in Fq, so the multiply is
+        coefficient-wise even on extension-field coordinates."""
+        assert self.glv is not None
+        return PointVec(
+            x=self._fq_mul_planes(p["x"], self._glv_beta), y=p["y"], z=p["z"]
+        )
+
+    def eq_projective(self, p: PointVec, q: PointVec) -> jnp.ndarray:
+        """Projective equality mask: cross-multiplied coordinate match.
+        Infinity (Z=0) equals only infinity."""
+        F = self.field
+        U = F.stack([p["x"], p["y"]])
+        V = F.stack([jnp.broadcast_to(q["z"], p["x"].shape)] * 2)
+        U2 = F.stack([q["x"], q["y"]])
+        V2 = F.stack([jnp.broadcast_to(p["z"], p["x"].shape)] * 2)
+        A = F.mul_stacked(U, V, _ID2, F.prod_nprod)
+        Bm = F.mul_stacked(U2, V2, _ID2, F.prod_nprod)
+        both_inf = self.is_infinity(p) & self.is_infinity(q)
+        coords_eq = F.eq(F.unstack(A, 0), F.unstack(Bm, 0)) & F.eq(
+            F.unstack(A, 1), F.unstack(Bm, 1)
+        )
+        return coords_eq | both_inf
+
+    def scalar_mul(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
+        """Batched scalar multiplication with the GLV fast path where the
+        curve has the cube-root endomorphism (all BLS12/BW6 groups).
+
+        GLV semantics: computes [k mod r]P assuming P lies in the order-r
+        subgroup (where phi acts as [lambda]) — exactly the ceremony
+        contract for batch_exp/MSM. Callers needing the raw integer ladder
+        on arbitrary curve points (the Direct subgroup check multiplies by
+        the group order itself!) must call scalar_mul_windowed.
+        """
+        if self.glv is None:
+            return self.scalar_mul_windowed(p, scalars_raw)
+        return self._scalar_mul_glv(p, scalars_raw)
+
+    def _scalar_mul_glv(self, p: PointVec, scalars_raw: jnp.ndarray) -> PointVec:
+        """k*P = k1*(s1 P) + k2*(s2 phi(P)) with half-width k1, k2 from the
+        on-device lattice decomposition: ~half the doublings of the
+        full-width ladder. The phi table is derived from the P table with
+        one fused coefficient-wise Fq multiply (phi is a homomorphism, so
+        phi(j * s1 P) = j * s1 phi(P); a conditional y-negation fixes the
+        sign where s1 != s2)."""
+        w = self.WINDOW
+        nbits = self.glv.p.nbits
+        m1, neg1, m2, neg2 = self.glv.decompose(scalars_raw)
+        d1 = self.scalar_digits_msb(m1, w, nbits)
+        d2 = self.scalar_digits_msb(m2, w, nbits)
+        B = scalars_raw.shape[-1]
+
+        F = self.field
+        base = self.select(neg1, self.neg(p), p)
+        t1 = self._stack_table(self._table_entries(base))
+        flip = neg1 != neg2
+        t2 = {
+            "x": self._fq_mul_planes(t1["x"], self._glv_beta),
+            "y": F.select(flip, F.neg(t1["y"]), t1["y"]),
+            "z": t1["z"],
+        }
+
+        digits = jnp.stack([d1, d2], axis=1)  # (nwin, 2, B)
+        acc0 = self.infinity((B,))
+
+        def step(acc, dd):
+            for _ in range(w):
+                acc = self.double(acc)
+            acc = self.add(acc, self._select_entry(t1, dd[0]))
+            acc = self.add(acc, self._select_entry(t2, dd[1]))
+            return acc, None
 
         acc, _ = jax.lax.scan(step, acc0, digits)
         return acc
