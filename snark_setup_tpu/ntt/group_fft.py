@@ -48,29 +48,49 @@ class GroupFFT:
         self._jit_cache = {}
 
     # -- host twiddle tables -------------------------------------------------
-    def _stage_twiddles(self, omega: int) -> list[np.ndarray | None]:
-        """Per-stage raw limb scalars, tiled to (Ls, n/2); None where all 1."""
+    def _stage_tables(self, omega: int):
+        """Per-stage host tables, all with STAGE-UNIFORM shapes so the
+        stage loop can be one lax.scan (the batched scalar-mul ladder —
+        the bulk of the graph — then traces and compiles exactly once
+        instead of once per stage):
+          tw   (stages, Ls, n/2) raw twiddle limb scalars (stage 1 all-ones)
+          ev   (stages, n/2)     gather indices of butterfly even inputs
+          od   (stages, n/2)     gather indices of butterfly odd inputs
+          perm (stages, n)       output permutation over concat(hi, lo)
+        """
         n, r = self.n, self.domain.r
         L = self.ops.fr.L
-        out = []
+        tws, evs, ods, perms = [], [], [], []
         m = 2
         while m <= n:
-            if m == 2:
-                out.append(None)  # w_2^0 = 1 for every butterfly
-            else:
-                wm = pow(omega, n // m, r)
-                tw = [1]
-                for _ in range(m // 2 - 1):
-                    tw.append(tw[-1] * wm % r)
-                tiled = tw * (n // m)  # block-major order matches the reshape
-                out.append(np.ascontiguousarray(ints_to_limbs_batch(tiled, L).T))
+            nblocks, half = n // m, m // 2
+            wm = pow(omega, n // m, r)
+            tw = [1]
+            for _ in range(half - 1):
+                tw.append(tw[-1] * wm % r)
+            tiled = tw * nblocks  # block-major order
+            tws.append(np.ascontiguousarray(ints_to_limbs_batch(tiled, L).T))
+            blocks = np.arange(nblocks, dtype=np.int32)[:, None] * m
+            j = np.arange(half, dtype=np.int32)[None, :]
+            evs.append((blocks + j).reshape(-1))
+            ods.append((blocks + half + j).reshape(-1))
+            perm = np.empty(n, np.int32)
+            flat = (blocks // m) * half + j  # hi/lo flat index per (block, j)
+            perm[(blocks + j).reshape(-1)] = flat.reshape(-1)
+            perm[(blocks + half + j).reshape(-1)] = n // 2 + flat.reshape(-1)
+            perms.append(perm)
             m <<= 1
-        return out
+        return (
+            np.stack(tws),
+            np.stack(evs),
+            np.stack(ods),
+            np.stack(perms),
+        )
 
     def _build(self, inverse: bool):
         ops, n = self.ops, self.n
         omega = self.domain.group_gen_inv if inverse else self.domain.group_gen
-        twiddles = self._stage_twiddles(omega)
+        tw_arr, ev_idx, od_idx, perm = self._stage_tables(omega)
         rev = self._rev
         scale_raw = None
         if inverse:
@@ -85,41 +105,26 @@ class GroupFFT:
             return jnp.take(arr, idx, axis=arr.ndim - 1)
 
         def f(p: PointVec) -> PointVec:
-            import jax.numpy as jnp
             import jax.tree_util as jtu
+            import jax.numpy as jnp
 
             x = PointVec(jtu.tree_map(lambda a: take_batch(a, rev), dict(p)))
-            m = 2
-            for tw in twiddles:
-                nblocks = n // m
-                half = m // 2
 
-                def split(a):
-                    lead = a.shape[:-1]
-                    b = a.reshape(*lead, nblocks, m)
-                    ev = b[..., :half].reshape(*lead, n // 2)
-                    od = b[..., half:].reshape(*lead, n // 2)
-                    return ev, od
-
-                ev_od = jtu.tree_map(split, dict(x))
-                even = PointVec({k: v[0] for k, v in ev_od.items()})
-                odd = PointVec({k: v[1] for k, v in ev_od.items()})
-                t = odd if tw is None else ops.scalar_mul(odd, tw)
+            def stage(x, st):
+                tw, ei, oi, pm = st
+                even = PointVec(jtu.tree_map(lambda a: take_batch(a, ei), dict(x)))
+                odd = PointVec(jtu.tree_map(lambda a: take_batch(a, oi), dict(x)))
+                t = ops.scalar_mul(odd, tw)
                 hi = ops.add(even, t)
                 lo = ops.add(even, ops.neg(t))
-
-                def merge(a_hi, a_lo):
-                    lead = a_hi.shape[:-1]
-                    a_hi = a_hi.reshape(*lead, nblocks, half)
-                    a_lo = a_lo.reshape(*lead, nblocks, half)
-                    return jnp.concatenate([a_hi, a_lo], axis=-1).reshape(
-                        *lead, n
-                    )
-
-                x = PointVec(
-                    jtu.tree_map(merge, dict(hi), dict(lo))
+                cat = jtu.tree_map(
+                    lambda a, b: take_batch(jnp.concatenate([a, b], axis=-1), pm),
+                    dict(hi),
+                    dict(lo),
                 )
-                m <<= 1
+                return PointVec(cat), None
+
+            x, _ = jax.lax.scan(stage, x, (tw_arr, ev_idx, od_idx, perm))
             if scale_raw is not None:
                 x = ops.scalar_mul(x, scale_raw)
             return x

@@ -362,35 +362,47 @@ class CurveOps:
         return jnp.flip(digs, axis=0)
 
     # -- window table helpers (limbs-leading stacked layout) ----------------
-    def _table_entries(self, p: PointVec) -> list[PointVec]:
-        """Multiples table T[j] = j*P for j in [0, 2^w)."""
+    def _window_table(self, p: PointVec) -> dict:
+        """Stacked multiples table T[j] = j*P for j in [0, 2^w): coords
+        (L[, d], 2^w, B). Entries 3..2^w-1 are built with a lax.scan (one
+        traced group-add instead of 13) — the table build dominated trace
+        time when unrolled, and XLA can't deduplicate repeated subgraphs."""
         B = p["x"].shape[-1]
-        table = [self.infinity((B,)), p, self.double(p)]
-        for j in range(3, 1 << self.WINDOW):
-            table.append(self.add(table[j - 1], p))
-        return table
+        inf = self.infinity((B,))
+        d2 = self.double(p)
 
-    def _stack_table(self, entries: list[PointVec]) -> dict:
-        """Stack entries along a new batch axis just before the element
-        batch: coords become (L[, d], 2^w, B), so every field op (including
-        the endomorphism's coefficient-wise Fq mul) applies directly."""
-        shape = entries[1]["x"].shape
-        return {
-            k: jnp.stack(
-                [jnp.broadcast_to(t[k], shape) for t in entries], axis=-2
-            )
-            for k in ("x", "y", "z")
-        }
+        def step(prev, _):
+            nxt = self.add(prev, p)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(step, d2, None, length=(1 << self.WINDOW) - 3)
+
+        full = jnp.broadcast_to(p["x"], inf["x"].shape).shape
+
+        def stacked(k):
+            head = jnp.stack(
+                [inf[k], jnp.broadcast_to(p[k], full), d2[k]], axis=-2
+            )  # (L[, d], 3, B)
+            tail = jnp.moveaxis(rest[k], 0, -2)  # (L[, d], 2^w-3, B)
+            return jnp.concatenate([head, tail], axis=-2)
+
+        return {k: stacked(k) for k in ("x", "y", "z")}
 
     def _select_entry(self, table_arr: dict, digit: jnp.ndarray) -> PointVec:
-        """Constant-time masked sum over the 2^w table rows (axis -2)."""
+        """Constant-time table lookup as a one-hot contraction over the
+        2^w table rows (axis -2): one einsum per coordinate instead of 2^w
+        masked selects — exact in uint32 (limbs < 2^16, single hot row)."""
+        oh = (
+            digit[None, :] == np.arange(1 << self.WINDOW, dtype=np.uint32)[:, None]
+        ).astype(jnp.uint32)
         out = {}
         for k, arr in table_arr.items():
-            acc = jnp.zeros_like(arr[..., 0, :])
-            for j in range(1 << self.WINDOW):
-                acc = acc + jnp.where(digit == np.uint32(j), arr[..., j, :], 0)
-            out[k] = acc
+            out[k] = jnp.einsum("...jb,jb->...b", arr, oh)
         return PointVec(out)
+
+    def _window_doubles(self, acc: PointVec, w: int) -> PointVec:
+        """w successive doublings via fori_loop (one traced double)."""
+        return jax.lax.fori_loop(0, w, lambda _, a: self.double(a), acc)
 
     def scalar_mul_windowed(
         self, p: PointVec, scalars_raw: jnp.ndarray, nbits: int | None = None
@@ -408,12 +420,11 @@ class CurveOps:
         w = self.WINDOW
         digits = self.scalar_digits_msb(scalars_raw, w, nbits)
         B = scalars_raw.shape[-1]
-        table_arr = self._stack_table(self._table_entries(p))
+        table_arr = self._window_table(p)
         acc0 = self.infinity((B,))
 
         def step(acc, digit):
-            for _ in range(w):
-                acc = self.double(acc)
+            acc = self._window_doubles(acc, w)
             return self.add(acc, self._select_entry(table_arr, digit)), None
 
         acc, _ = jax.lax.scan(step, acc0, digits)
@@ -494,7 +505,7 @@ class CurveOps:
 
         F = self.field
         base = self.select(neg1, self.neg(p), p)
-        t1 = self._stack_table(self._table_entries(base))
+        t1 = self._window_table(base)
         flip = neg1 != neg2
         t2 = {
             "x": self._fq_mul_planes(t1["x"], self._glv_beta),
@@ -506,8 +517,7 @@ class CurveOps:
         acc0 = self.infinity((B,))
 
         def step(acc, dd):
-            for _ in range(w):
-                acc = self.double(acc)
+            acc = self._window_doubles(acc, w)
             acc = self.add(acc, self._select_entry(t1, dd[0]))
             acc = self.add(acc, self._select_entry(t2, dd[1]))
             return acc, None

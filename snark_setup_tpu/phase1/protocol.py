@@ -896,14 +896,23 @@ def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
     return ops.to_affine_host(s)[0], ops.to_affine_host(sx)[0]
 
 
+_bsub_cache = {}
+
+
 def _check_subgroup_device(
     codec: BatchPointCodec, pts: PointVec, mode: SubgroupCheckMode, n: int
 ) -> None:
     """Nonzero assumed already checked. Direct: r*P == O per element.
     Batched: real random-linear-combination check (the reference stubs this,
     elements.rs:123-139 — implemented here): Q = sum t_i P_i with 128-bit
-    random t_i, then r*Q == O. Auto: Direct below 2^12 elements, else
-    Batched."""
+    random t_i, then subgroup-check the single point Q. Auto: Direct below
+    2^12 elements, else Batched (accumulator.rs:109-119 crossover).
+
+    The RLC multiplication MUST use the raw windowed ladder, not the GLV
+    path: GLV computes k1 P + k2 phi(P), which equals [k]P only inside the
+    subgroup — the very property under test. Scalars are zero-padded to the
+    (padded) point batch so the jitted kernel sees one shape per section;
+    padding rows multiply infinity points and contribute the identity."""
     import jax.numpy as jnp
 
     if mode is SubgroupCheckMode.NO:
@@ -917,18 +926,30 @@ def _check_subgroup_device(
         if not bool(jnp.all(ok | ops.is_infinity(pts))):
             raise IncorrectSubgroupError("element not in prime-order subgroup")
     else:
-        scalars = _rng_scalars_bits(n, 128)
-        q_pt = ops.msm(pts, scalars)
-        ok = codec._subgroup_jit(q_pt)
+        pad = int(pts["x"].shape[-1])
+        scalars = _rng_scalars_bits(n, 128, pad_to=pad)
+        key = id(ops)
+        if key not in _bsub_cache:
+            import jax
+
+            def f(p, s):
+                prods = ops.scalar_mul_windowed(p, s, nbits=128)
+                q = ops.sum_reduce(prods)
+                return codec.subgroup_mask_direct(q) | ops.is_infinity(q)
+
+            _bsub_cache[key] = jax.jit(f)
+        ok = _bsub_cache[key](pts, scalars)
         if not bool(jnp.all(ok)):
             raise IncorrectSubgroupError("batched subgroup check failed")
 
 
-def _rng_scalars_bits(n: int, bits: int) -> np.ndarray:
+def _rng_scalars_bits(n: int, bits: int, pad_to: int | None = None) -> np.ndarray:
     from ..fields.limb import LIMB_BITS
 
     L = -(-bits // LIMB_BITS)
     vals = [secrets.randbits(bits) for _ in range(n)]
+    if pad_to is not None and pad_to > n:
+        vals += [0] * (pad_to - n)
     return np.ascontiguousarray(ints_to_limbs_batch(vals, L).T)
 
 

@@ -84,6 +84,44 @@ def sharded_msm_fn(ops: CurveOps, mesh: Mesh, axis: str = "i"):
     return jax.jit(lambda p, s: PointVec(sm(dict(p), s)))
 
 
+def sharded_step_fn(ops: CurveOps, mesh: Mesh, axis: str = "i"):
+    """jitted (points, scalars) -> (points, msm_point): the full
+    contribution step (elementwise batch_exp over the sharded i-range) AND
+    verification's cross-chip RLC MSM reduction in ONE compiled module —
+    the scalar-mul ladder (the bulk of the graph) is compiled once and
+    feeds both outputs, halving multi-chip compile time vs two separate
+    jits (sharded_batch_exp_fn + sharded_msm_fn)."""
+    pspec = _point_spec(ops, axis)
+    sspec = P(None, axis)
+
+    def local(p, s):
+        prods = ops.scalar_mul(PointVec(p), s)
+        partial = ops.sum_reduce(prods)  # (L[,d], 1) per shard
+        gathered = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, axis, axis=a.ndim - 1, tiled=True),
+            dict(partial),
+        )
+        total = ops.sum_reduce(PointVec(gathered))
+        return dict(prods), dict(total)
+
+    sm = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=({"x": pspec, "y": pspec, "z": pspec}, sspec),
+        out_specs=(
+            {"x": pspec, "y": pspec, "z": pspec},
+            {"x": P(), "y": P(), "z": P()},
+        ),
+        check_rep=False,
+    )
+
+    def f(p, s):
+        prods, total = sm(dict(p), s)
+        return PointVec(prods), PointVec(total)
+
+    return jax.jit(f)
+
+
 def sharded_group_ifft_fn(curve_name: str, group: str, n: int, mesh: Mesh, axis: str = "i"):
     """jitted PointVec -> PointVec group-element IFFT with the point batch
     sharded over the mesh — the distributed prepare_phase2 NTT.
