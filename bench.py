@@ -6,15 +6,21 @@ ceremony's hot op (batch_exp, reference setup-utils/src/helpers.rs:75-140;
 Prints ONE JSON line:
   {"metric": "g1_exp_per_s", "value": N, "unit": "exp/s", "vs_baseline": R}
 
-vs_baseline divides by the same op measured on this image's CPU backend
-(JAX XLA-CPU, 2 cores: 22 exp/s at batch 512 — measured 2026-08-17, see
-BASELINE.md; the reference publishes no numbers and no Rust toolchain exists
-in this image to run it).
+vs_baseline semantics (honest baseline, VERDICT r1 #7): the reference
+publishes no numbers and this image has no Rust toolchain, so the
+comparison target is a DOCUMENTED ESTIMATE of the reference running
+`batch_exp` on a 64-core CPU: arkworks 0.4 does a BLS12-377 G1 full-width
+scalar-mul in ~100 µs/core on a modern server core (public ark-ec/blst
+microbenchmark magnitudes: 50–130 µs for BLS12 G1), and batch_exp is
+embarrassingly rayon-parallel, giving ~10k exp/s/core x 64 ~= 6.4e5 exp/s;
+we use 6.0e5 to absorb imperfect scaling. vs_baseline < 1 means a single
+TPU chip is still SLOWER than the 64-core estimate — see BASELINE.md for
+the roofline analysis and benches/roofline.py for the derivation.
 
 Notes:
-- On the tunneled axon TPU backend, `block_until_ready` returns at dispatch
-  time; a host readback (np.asarray) is the only true synchronization, so we
-  time through readback of one limb plane.
+- On the tunneled axon TPU backend, `block_until_ready` can return at
+  dispatch time; a host readback (np.asarray) is the only true
+  synchronization, so we time through readback of one limb plane.
 """
 
 import json
@@ -26,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
-CPU_BASELINE_EXP_PER_S = 22.0  # this image's 2-core CPU backend, batch 512
+# Documented estimate of the Rust reference on a 64-core CPU (see module
+# docstring and BASELINE.md "Honest baseline" section).
+CPU64_BASELINE_EXP_PER_S = 600_000.0
 
 
 def main():
@@ -72,7 +80,7 @@ def main():
                 "metric": "g1_exp_per_s",
                 "value": round(rate, 2),
                 "unit": "exp/s",
-                "vs_baseline": round(rate / CPU_BASELINE_EXP_PER_S, 2),
+                "vs_baseline": round(rate / CPU64_BASELINE_EXP_PER_S, 4),
             }
         )
     )

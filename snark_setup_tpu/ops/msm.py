@@ -1,0 +1,78 @@
+"""Shared MSM policy for PUBLIC (verifier-side) scalars.
+
+One chooser used by phase-1 RLC power-pair checks, the batched subgroup
+check, and phase-2 merge-pairs: Pippenger buckets (ops/pippenger.py) above
+PIPPENGER_MIN points, a width-bounded windowed ladder + tree reduce below
+(one fused compile, cheap for the per-batch shapes tests use).
+
+Secret-scalar paths (contribution, key material) must NOT come through
+here — they use the constant-time GLV ladder in curve_jax.py.
+
+Replaces msm_bigint inside merge_pairs (setup-utils/src/helpers.rs:371-384)
+and the reference's dead hand-rolled Pippenger (helpers.rs:447-548).
+"""
+
+from __future__ import annotations
+
+import secrets
+
+import numpy as np
+
+from ..fields.limb import LIMB_BITS, ints_to_limbs_batch
+from .curve_jax import CurveOps, PointVec
+
+RLC_BITS = 128
+"""Width of random-linear-combination scalars. The reference draws full
+Fr-width scalars from thread_rng (helpers.rs:373-376); soundness only needs
+the ~2^-128 collision bound, and half width halves both ladder length and
+Pippenger window count. Scalars stay injectable for reproducible tests."""
+
+PIPPENGER_MIN = 1 << 9
+"""Batch size above which public-scalar MSMs switch from the windowed
+ladder to the Pippenger bucket kernel: below this the ladder's single fused
+compile is cheaper than the bucket machinery."""
+
+
+def rlc_scalars(n: int, bits: int = RLC_BITS, rng=None) -> np.ndarray:
+    """n random `bits`-wide scalars as raw 16-bit limb planes (Ls, n)."""
+    L = -(-bits // LIMB_BITS)
+    if rng is None:
+        vals = [secrets.randbits(bits) for _ in range(n)]
+    else:
+        vals = [rng.randrange(1 << bits) for _ in range(n)]
+    return np.ascontiguousarray(ints_to_limbs_batch(vals, L).T)
+
+
+def rlc_scalars_padded(n: int, pad: int, bits: int = RLC_BITS, rng=None) -> np.ndarray:
+    """n random scalars zero-padded to `pad` rows (padding rows multiply
+    padding infinity points, contributing the identity to the MSM)."""
+    out = rlc_scalars(n, bits, rng)
+    if pad > n:
+        out = np.concatenate(
+            [out, np.zeros((out.shape[0], pad - n), np.uint32)], axis=1
+        )
+    return out
+
+
+_ladder_cache: dict = {}
+
+
+def msm_public(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray, nbits: int) -> PointVec:
+    """MSM over public scalars; returns a 1-point device PointVec."""
+    B = int(pts["x"].shape[-1])
+    if B >= PIPPENGER_MIN:
+        from .pippenger import pippenger_for
+
+        pip = pippenger_for(ops.spec.name, ops.group_name, B, nbits)
+        return pip(pts, scalars_raw)
+    import jax
+
+    key = (id(ops), nbits)
+    if key not in _ladder_cache:
+
+        def f(p, s):
+            prods = ops.scalar_mul_windowed(p, s, nbits=nbits)
+            return dict(ops.sum_reduce(prods))
+
+        _ladder_cache[key] = jax.jit(f)
+    return PointVec(_ladder_cache[key](pts, scalars_raw))

@@ -1,0 +1,257 @@
+"""Pippenger (bucket-method) multi-scalar multiplication on device.
+
+Replaces the per-point full ladder inside every random-linear-combination
+ratio check (power_pairs / merge_pairs, setup-utils/src/helpers.rs:371-424;
+the reference's own hand-rolled Pippenger is helpers.rs:447-548) with the
+asymptotically right algorithm, shaped for the TPU:
+
+- Signed-digit recoding with window width c: adding the constant
+  sum_k 2^(c-1) 2^(kc) to each scalar makes every digit d_k - 2^(c-1) lie in
+  [-2^(c-1), 2^(c-1)], so buckets store |digit| in [0, 2^(c-1)] (row 0 is a
+  dead bucket for zero digits) and the point's y is negated where the digit
+  is negative. Recoding is vectorized host numpy (one carry sweep over the
+  16-bit limb planes) — RLC scalars are host-generated public randomness,
+  so neither secrecy nor device residency is required.
+- Bucket accumulation: the batch is split into G lanes x S steps; a
+  lax.scan over the S steps adds G points per step into per-lane bucket
+  arrays of shape (L[, d], nwin, 2^(c-1)+1, G) — every window in parallel.
+  The touched bucket row is gathered with take_along_axis and written back
+  with put_along_axis (XLA gather/scatter): per step only (L, nwin, G)
+  elements move, NOT the whole bucket array (a one-hot dense update would
+  drag 2^(c-1)x more bytes through HBM per point).
+- Lane merge: log2(G) batched group adds; THEN the standard descending
+  double-accumulator bucket finalize (2 * 2^(c-1) adds, batched over
+  windows); finally the window combine chain (c doublings + 1 add per
+  window).
+
+Group-op count per point ~ nwin complete adds (vs ~1.2 ops/bit for the GLV
+ladder): ~5x fewer field muls at 253-bit scalars with c=8, ~8x at the
+128-bit RLC width. Secret-scalar paths (contribution) keep the
+constant-time ladder in curve_jax.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..fields.limb import LIMB_BITS
+from .curve_jax import CurveOps, PointVec
+
+_DEF_C = 8
+
+
+def signed_digits_host(scalars_raw: np.ndarray, nbits: int, c: int = _DEF_C):
+    """(Ls, B) raw 16-bit limb scalars -> (idx, neg): |digit| in [0, 2^(c-1)]
+    and sign masks, both (nwin, B), LSB-window first. Pure numpy."""
+    assert c <= LIMB_BITS, "digit extraction pulls at most one extra limb"
+    Ls, B = scalars_raw.shape
+    nwin = -(-(nbits + 1) // c)
+    half = 1 << (c - 1)
+    # t = scalar + sum_k half * 2^(kc), carry-propagated in 16-bit limbs.
+    # The constant needs ceil((nwin*c + 1) / 16) limbs; use one extra limb.
+    const = sum(half << (k * c) for k in range(nwin))
+    L2 = max(Ls, (nwin * c + 1 + LIMB_BITS - 1) // LIMB_BITS) + 1
+    t = np.zeros((L2, B), np.uint64)
+    t[:Ls] = scalars_raw.astype(np.uint64)
+    for i in range(L2):
+        t[i] += (const >> (i * LIMB_BITS)) & 0xFFFF
+    carry = np.zeros(B, np.uint64)
+    for i in range(L2):
+        t[i] += carry
+        carry = t[i] >> LIMB_BITS
+        t[i] &= 0xFFFF
+    # extract c-bit digits of t
+    idx = np.empty((nwin, B), np.int32)
+    neg = np.empty((nwin, B), bool)
+    mask = (1 << c) - 1
+    for k in range(nwin):
+        bit0 = k * c
+        lo_limb, off = divmod(bit0, LIMB_BITS)
+        v = t[lo_limb] >> off
+        if off + c > LIMB_BITS and lo_limb + 1 < L2:
+            v |= t[lo_limb + 1] << (LIMB_BITS - off)
+        d = (v.astype(np.int64) & mask) - half  # [-half, half-1]
+        neg[k] = d < 0
+        idx[k] = np.abs(d)
+    return idx, neg
+
+
+class PippengerMSM:
+    """Compiled bucket-MSM for one (ops, B, nbits, c, lanes) signature."""
+
+    def __init__(self, ops: CurveOps, batch: int, nbits: int, c: int = _DEF_C, lanes: int | None = None):
+        self.ops = ops
+        self.nbits = nbits
+        self.c = c
+        self.nwin = -(-(nbits + 1) // c)
+        self.nb = (1 << (c - 1)) + 1  # bucket rows incl. dead row 0
+        if lanes is None:
+            lanes = max(8, min(256, batch // 8))
+        g = 1
+        while g * 2 <= lanes:
+            g *= 2
+        self.G = g
+        self.S = -(-batch // g)  # scan steps (batch padded to S*G)
+        self.B_pad = self.S * self.G
+        self._jit = None
+
+    # -- device kernel ------------------------------------------------------
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        ops = self.ops
+        F = ops.field
+        nwin, nb, G, S = self.nwin, self.nb, self.G, self.S
+        el_ndim = 1 if F.degree == 1 else 2
+        bucket_axis = el_ndim + 1  # (L[, d], nwin, nb, G)
+
+        def flat(pv):
+            return PointVec(
+                {k: v.reshape(*v.shape[:el_ndim], -1) for k, v in pv.items()}
+            )
+
+        def unflat(pv, shape):
+            return {k: v.reshape(*v.shape[:el_ndim], *shape) for k, v in pv.items()}
+
+        def add_b(p, q, shape):
+            """Group add over arbitrary batch shape (flatten for the fused
+            stacked-mul kernel, which wants one trailing batch axis)."""
+            out = ops.add(flat(p), flat(q))
+            return unflat(out, shape)
+
+        def f(p, idx, neg):
+            # p coords: (L[, d], S, G); idx/neg: (S, nwin, G)
+            zero = np.asarray(F.zeros((nwin, nb, G)))
+            onep = np.asarray(F.ones((nwin, nb, G)))
+            buckets = {"x": jnp.broadcast_to(zero, zero.shape),
+                       "y": jnp.broadcast_to(onep, onep.shape),
+                       "z": jnp.broadcast_to(zero, zero.shape)}
+
+            def step(bk, sl):
+                pt, ix, ng = sl  # pt (L[,d], G), ix/ng (nwin, G)
+                pb = {
+                    k: jnp.broadcast_to(
+                        v[..., None, :], (*v.shape[:el_ndim], nwin, G)
+                    )
+                    for k, v in pt.items()
+                }
+                pb["y"] = F.select(ng, F.neg(pb["y"]), pb["y"])
+                ixe = ix[..., None, :].astype(jnp.int32)  # (nwin, 1, G)
+                ixe = jnp.broadcast_to(
+                    ixe.reshape((1,) * el_ndim + (nwin, 1, G)),
+                    (*bk["x"].shape[:el_ndim], nwin, 1, G),
+                )
+                gathered = {
+                    k: jnp.take_along_axis(v, ixe, axis=bucket_axis)[
+                        ..., 0, :
+                    ]
+                    for k, v in bk.items()
+                }
+                added = add_b(PointVec(gathered), PointVec(pb), (nwin, G))
+                bk = {
+                    k: jnp.put_along_axis(
+                        bk[k], ixe, added[k][..., None, :], axis=bucket_axis,
+                        inplace=False,
+                    )
+                    for k in bk
+                }
+                return bk, None
+
+            pt_slices = {k: jnp.moveaxis(v, el_ndim, 0) for k, v in p.items()}
+            buckets, _ = jax.lax.scan(step, buckets, (pt_slices, idx, neg))
+
+            # lane merge: tree-reduce the G axis -> (nwin, nb)
+            g = G
+            while g > 1:
+                half_g = g // 2
+                lo = {k: v[..., :half_g] for k, v in buckets.items()}
+                hi = {k: v[..., half_g:g] for k, v in buckets.items()}
+                buckets = add_b(PointVec(lo), PointVec(hi), (nwin, nb, half_g))
+                g = half_g
+            buckets = {k: v[..., 0] for k, v in buckets.items()}  # (.., nwin, nb)
+
+            # bucket finalize: acc = running sum from the top bucket down,
+            # total += acc each step => total = sum_j j * B_j  (j >= 1)
+            inf_w = {
+                "x": jnp.broadcast_to(np.asarray(F.zeros((nwin,))), buckets["x"].shape[:-1]),
+                "y": jnp.broadcast_to(np.asarray(F.ones((nwin,))), buckets["x"].shape[:-1]),
+                "z": jnp.broadcast_to(np.asarray(F.zeros((nwin,))), buckets["x"].shape[:-1]),
+            }
+
+            def fin(carry, j):
+                acc, tot = carry
+                # after the lane merge the nb axis sits at bucket_axis
+                # (the G axis it trailed is gone)
+                row = {
+                    k: jnp.take(v, j, axis=bucket_axis) for k, v in buckets.items()
+                }
+                acc = add_b(PointVec(acc), PointVec(row), (nwin,))
+                tot = add_b(PointVec(tot), PointVec(acc), (nwin,))
+                return (acc, tot), None
+
+            (acc, tot), _ = jax.lax.scan(
+                fin, (dict(inf_w), dict(inf_w)), np.arange(nb - 1, 0, -1)
+            )
+
+            # window combine: T = 2^c * T + S_k from the top window down
+            def comb(T, k):
+                T = ops._window_doubles(T, self.c)
+                row = PointVec(
+                    {kk: jnp.take(v, k, axis=el_ndim)[..., None] for kk, v in tot.items()}
+                )
+                return ops.add(T, row), None
+
+            T0 = ops.infinity((1,))
+            T, _ = jax.lax.scan(comb, T0, np.arange(nwin - 1, -1, -1))
+            return dict(T)
+
+        return jax.jit(f)
+
+    def __call__(self, pts: PointVec, scalars_raw: np.ndarray) -> PointVec:
+        """pts: device batch (padding beyond the scalar count must be
+        infinity); scalars_raw: HOST (Ls, B) raw limb planes."""
+        import jax.numpy as jnp
+
+        if self._jit is None:
+            self._jit = self._build()
+        B = scalars_raw.shape[-1]
+        idx, neg = signed_digits_host(np.asarray(scalars_raw), self.nbits, self.c)
+        if self.B_pad != B:
+            pad = self.B_pad - B
+            idx = np.concatenate([idx, np.zeros((self.nwin, pad), np.int32)], 1)
+            neg = np.concatenate([neg, np.zeros((self.nwin, pad), bool)], 1)
+            F = self.ops.field
+            el_ndim = 1 if F.degree == 1 else 2
+
+            def padp(v, fill):
+                shape = list(v.shape)
+                shape[-1] = pad
+                return jnp.concatenate(
+                    [v, jnp.broadcast_to(np.asarray(fill), tuple(shape))], -1
+                )
+
+            pts = PointVec(
+                x=padp(pts["x"], F.zeros((1,))),
+                y=padp(pts["y"], F.ones((1,))),
+                z=padp(pts["z"], F.zeros((1,))),
+            )
+        el_ndim = 1 if self.ops.field.degree == 1 else 2
+        p = {
+            k: v.reshape(*v.shape[:el_ndim], self.S, self.G)
+            for k, v in pts.items()
+        }
+        idx = idx.reshape(self.nwin, self.S, self.G).transpose(1, 0, 2)
+        neg = neg.reshape(self.nwin, self.S, self.G).transpose(1, 0, 2)
+        out = self._jit(p, idx, neg)
+        return PointVec(out)
+
+
+@functools.lru_cache(maxsize=None)
+def pippenger_for(curve_name: str, group: str, batch: int, nbits: int, c: int = _DEF_C) -> PippengerMSM:
+    from .curve_jax import curve_ops
+
+    ops = curve_ops(curve_name, group)
+    return PippengerMSM(ops, batch, nbits, c)

@@ -17,7 +17,6 @@ The hot loops run on TPU:
 
 from __future__ import annotations
 
-import secrets
 from dataclasses import dataclass
 
 import numpy as np
@@ -60,31 +59,13 @@ def _chunk_rel(parameters: Phase1Parameters, start: int, end: int) -> tuple[int,
     return start, end
 
 
-def _rng_scalars(n: int, r: int, rng=None) -> np.ndarray:
-    """Random full-width Fr scalars as raw 16-bit limb planes for the RLC
-    MSM checks. Injectable rng for reproducible tests (the reference's
-    merge_pairs uses thread_rng; we accept any source of ints)."""
-    from ..fields.limb import LimbSpec
-
-    L = LimbSpec(r).n_limbs
-    if rng is None:
-        vals = [secrets.randbelow(r) for _ in range(n)]
-    else:
-        vals = [rng.randrange(r) for _ in range(n)]
-    return np.ascontiguousarray(ints_to_limbs_batch(vals, L).T)  # (Ls, n)
-
-
-def _rng_scalars_padded(n: int, pad: int, r: int, rng=None) -> np.ndarray:
-    """n random scalars zero-padded to `pad` rows (padding rows multiply the
-    padding infinity points, contributing the identity to the MSM)."""
-    out = _rng_scalars(n, r, rng)
-    if pad > n:
-        from ..fields.limb import LimbSpec
-
-        out = np.concatenate(
-            [out, np.zeros((LimbSpec(r).n_limbs, pad - n), np.uint32)], axis=1
-        )
-    return out
+# Public-scalar MSM policy (RLC width, Pippenger threshold, scalar
+# generation) is shared with phase 2 — see ops/msm.py.
+from ..ops.msm import (  # noqa: E402
+    RLC_BITS,
+    msm_public as _msm_device,
+    rlc_scalars_padded as _rng_scalars_padded,
+)
 
 
 _sm_cache = {}
@@ -483,7 +464,7 @@ class Phase1:
                 )
                 _check_subgroup_device(codec, pts, subgroup_check_mode, n)
                 if do_ratio:
-                    scalars = _rng_scalars_padded(n - 1, pad - 1, spec.r, rlc_rng)
+                    scalars = _rng_scalars_padded(n - 1, pad - 1, rng=rlc_rng)
                     s_pt, sx_pt = _power_pairs_device(codec.ops, pts, scalars)
                     if check_pair_g2 is not None:
                         eng.check_same_ratio(
@@ -572,7 +553,7 @@ class Phase1:
                     subgroup_mode=SubgroupCheckMode.NO,
                     pad_to=pad,
                 )
-                scalars = _rng_scalars_padded(n - 1, pad - 1, spec.r, rlc_rng)
+                scalars = _rng_scalars_padded(n - 1, pad - 1, rng=rlc_rng)
                 s_pt, sx_pt = _power_pairs_device(codec.ops, pts, scalars)
                 if check_pair_g2 is not None:
                     eng.check_same_ratio((s_pt, sx_pt), check_pair_g2, f"Power pairs {sec_name}")
@@ -871,32 +852,30 @@ def _pow_u32(fr, base_mont, exps_u32, coeff_mont):
     return _pow_u32_cache[key](base_mont, exps_u32, coeff_mont)
 
 
-_pp_cache = {}
+_pp_slice_cache = {}
 
 
 def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
-    """merge_pairs(v[:-1], v[1:]) with shared random scalars: two device MSMs,
-    results as host affine points (helpers.rs:371-390)."""
+    """merge_pairs(v[:-1], v[1:]) with shared random scalars: two device
+    MSMs through the public-scalar MSM path (Pippenger buckets above
+    PIPPENGER_MIN), results as host affine points (helpers.rs:371-390)."""
     import jax
 
     key = id(ops)
-    if key not in _pp_cache:
+    if key not in _pp_slice_cache:
 
-        def f(p, scalars):
+        def sl(p):
             import jax.tree_util as jtu
 
-            head = PointVec(jtu.tree_map(lambda a: a[..., :-1], dict(p)))
-            tail = PointVec(jtu.tree_map(lambda a: a[..., 1:], dict(p)))
-            s = ops.msm(head, scalars)
-            sx = ops.msm(tail, scalars)
-            return s, sx
+            head = jtu.tree_map(lambda a: a[..., :-1], dict(p))
+            tail = jtu.tree_map(lambda a: a[..., 1:], dict(p))
+            return head, tail
 
-        _pp_cache[key] = jax.jit(f)
-    s, sx = _pp_cache[key](pts, scalars_raw)
+        _pp_slice_cache[key] = jax.jit(sl)
+    head, tail = _pp_slice_cache[key](pts)
+    s = _msm_device(ops, PointVec(head), scalars_raw, RLC_BITS)
+    sx = _msm_device(ops, PointVec(tail), scalars_raw, RLC_BITS)
     return ops.to_affine_host(s)[0], ops.to_affine_host(sx)[0]
-
-
-_bsub_cache = {}
 
 
 def _check_subgroup_device(
@@ -908,11 +887,13 @@ def _check_subgroup_device(
     random t_i, then subgroup-check the single point Q. Auto: Direct below
     2^12 elements, else Batched (accumulator.rs:109-119 crossover).
 
-    The RLC multiplication MUST use the raw windowed ladder, not the GLV
-    path: GLV computes k1 P + k2 phi(P), which equals [k]P only inside the
-    subgroup — the very property under test. Scalars are zero-padded to the
-    (padded) point batch so the jitted kernel sees one shape per section;
-    padding rows multiply infinity points and contribute the identity."""
+    The RLC multiplication MUST NOT use the GLV path: GLV computes
+    k1 P + k2 phi(P), which equals [k]P only inside the subgroup — the very
+    property under test. _msm_device uses the raw windowed ladder or the
+    Pippenger bucket kernel (complete formulas, no endomorphism). Scalars
+    are zero-padded to the (padded) point batch so jitted kernels see one
+    shape per section; padding rows multiply infinity points and contribute
+    the identity."""
     import jax.numpy as jnp
 
     if mode is SubgroupCheckMode.NO:
@@ -927,30 +908,11 @@ def _check_subgroup_device(
             raise IncorrectSubgroupError("element not in prime-order subgroup")
     else:
         pad = int(pts["x"].shape[-1])
-        scalars = _rng_scalars_bits(n, 128, pad_to=pad)
-        key = id(ops)
-        if key not in _bsub_cache:
-            import jax
-
-            def f(p, s):
-                prods = ops.scalar_mul_windowed(p, s, nbits=128)
-                q = ops.sum_reduce(prods)
-                return codec.subgroup_mask_direct(q) | ops.is_infinity(q)
-
-            _bsub_cache[key] = jax.jit(f)
-        ok = _bsub_cache[key](pts, scalars)
+        scalars = _rng_scalars_padded(n, pad, bits=128)
+        q = _msm_device(ops, pts, scalars, 128)
+        ok = codec._subgroup_jit(q) | ops.is_infinity(q)
         if not bool(jnp.all(ok)):
             raise IncorrectSubgroupError("batched subgroup check failed")
-
-
-def _rng_scalars_bits(n: int, bits: int, pad_to: int | None = None) -> np.ndarray:
-    from ..fields.limb import LIMB_BITS
-
-    L = -(-bits // LIMB_BITS)
-    vals = [secrets.randbits(bits) for _ in range(n)]
-    if pad_to is not None and pad_to > n:
-        vals += [0] * (pad_to - n)
-    return np.ascontiguousarray(ints_to_limbs_batch(vals, L).T)
 
 
 def _recode_section(

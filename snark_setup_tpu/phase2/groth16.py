@@ -43,9 +43,12 @@ def _msm_device(spec: CurveSpec, group: str, pts: list[AffinePoint], scalars: li
     raw = np.ascontiguousarray(
         ints_to_limbs_batch([s for _, s in pairs], ops.fr.L).T
     )
-    import jax
+    # shared public-scalar MSM (windowed ladder / Pippenger): jitting the
+    # GLV ops.msm here produced an executable whose persistent-cache
+    # serialization segfaults XLA:CPU (jax 0.9, compilation_cache.py:265)
+    from ..ops.msm import msm_public
 
-    out = jax.jit(ops.msm)(pv, raw)
+    out = msm_public(ops, pv, raw, ops.scalar_bits)
     return ops.to_affine_host(out)[0]
 
 

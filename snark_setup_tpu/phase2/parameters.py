@@ -197,33 +197,19 @@ def batch_mul_device(ops: CurveOps, pts: list[AffinePoint], scalar: int) -> list
     return ops.to_affine_host(_bm_cache[key](dev, raw))
 
 
-_mp_cache: dict = {}
-
-
 def merge_pairs_device(
     ops: CurveOps, v1: list[AffinePoint], v2: list[AffinePoint], rng=None
 ) -> tuple[AffinePoint, AffinePoint]:
     """(sum t_i v1_i, sum t_i v2_i) with shared random t_i — two device MSMs
-    (merge_pairs, setup-utils/src/helpers.rs:371-384). rng injectable for
-    reproducible verification (reference wart: thread_rng)."""
+    through the shared public-scalar path (Pippenger buckets above the
+    threshold; merge_pairs, setup-utils/src/helpers.rs:371-384). rng
+    injectable for reproducible verification (reference wart: thread_rng)."""
+    from ..ops.msm import RLC_BITS, msm_public, rlc_scalars
+
     assert len(v1) == len(v2) and v1
-    r = ops.spec.r
-    if rng is None:
-        vals = [secrets.randbelow(r) for _ in v1]
-    else:
-        vals = [rng.randrange(r) for _ in v1]
-    raw = np.ascontiguousarray(ints_to_limbs_batch(vals, ops.fr.L).T)
-    key = id(ops)
-    if key not in _mp_cache:
-        import jax
-
-        def f(p1: PointVec, p2: PointVec, scalars):
-            return ops.msm(p1, scalars), ops.msm(p2, scalars)
-
-        _mp_cache[key] = jax.jit(f)
-    s_pt, sx_pt = _mp_cache[key](
-        ops.from_affine_host(v1), ops.from_affine_host(v2), raw
-    )
+    raw = rlc_scalars(len(v1), RLC_BITS, rng)
+    s_pt = msm_public(ops, ops.from_affine_host(v1), raw, RLC_BITS)
+    sx_pt = msm_public(ops, ops.from_affine_host(v2), raw, RLC_BITS)
     return ops.to_affine_host(s_pt)[0], ops.to_affine_host(sx_pt)[0]
 
 

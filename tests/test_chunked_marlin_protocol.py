@@ -1,0 +1,196 @@
+"""Protocol-matrix tests the reference sweeps that round 1 lacked
+(VERDICT #6): Marlin computation vs host-recomputed expectation
+(computation.rs:397-441), Marlin aggregate verification
+(verification.rs:676-727), chunked verification looping EVERY chunk index
+(verification.rs:943-1104), and the wrong-chunk aggregation fault
+(aggregation.rs:365-543, #[should_panic] :791-836)."""
+
+import random
+
+import pytest
+
+from snark_setup_tpu.curves.host import g1_curve, g2_curve
+from snark_setup_tpu.phase1.parameters import Phase1Parameters
+from snark_setup_tpu.phase1.protocol import Phase1
+from snark_setup_tpu.phase1.testing import generate_input, generate_output, setup_verify
+from snark_setup_tpu.transcript.hashing import blank_hash, derive_rng_from_seed
+from snark_setup_tpu.utils.enums import (
+    BatchExpMode,
+    CheckForCorrectness,
+    ContributionMode,
+    ProvingSystem,
+    SubgroupCheckMode,
+    UseCompression,
+)
+from snark_setup_tpu.utils.errors import Error
+
+POWER = 3
+BATCH = 4
+CHUNK = 4
+CURVE = "bls12_377"
+
+
+# ---------------------------------------------------------------------------
+# Marlin
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def marlin_contribution():
+    params = Phase1Parameters.new_full(CURVE, ProvingSystem.MARLIN, POWER, BATCH)
+    inp, out, pubkey, privkey, digest = setup_verify(
+        UseCompression.NO, CheckForCorrectness.NO, UseCompression.NO, params
+    )
+    return params, inp, out, pubkey, privkey, digest
+
+
+def test_marlin_computation_matches_host_oracle(marlin_contribution):
+    params, inp, out, pubkey, privkey, digest = marlin_contribution
+    spec = params.spec
+    before = Phase1.deserialize(inp, UseCompression.NO, CheckForCorrectness.NO, params)
+    after = Phase1.deserialize(out, UseCompression.NO, CheckForCorrectness.NO, params)
+    g1c, g2c = g1_curve(spec), g2_curve(spec)
+    r = spec.r
+    tau, alpha = privkey.tau, privkey.alpha
+    n = params.total_size_in_log2
+
+    # Marlin's tau_g1 upper bound is powers_length (2^n), not 2^{n+1}-1
+    for i in range(params.powers_length):
+        assert after.tau_powers_g1[i] == g1c.mul(before.tau_powers_g1[i], pow(tau, i, r))
+
+    # tau_g2: [g2, tau g2, then n inverse degree-bound powers]
+    assert after.tau_powers_g2[0] == before.tau_powers_g2[0]
+    assert after.tau_powers_g2[1] == g2c.mul(before.tau_powers_g2[1], tau)
+    degree_bound_powers = [
+        pow(tau, params.powers_length - 1 - (1 << i) + 2, r) for i in range(n)
+    ]
+    for i, f in enumerate(degree_bound_powers):
+        assert after.tau_powers_g2[2 + i] == g2c.mul(
+            before.tau_powers_g2[2 + i], pow(f, -1, r)
+        )
+
+    # alpha_g1: [alpha tau^0..2, then triples f*alpha*tau^k]
+    for j in range(3):
+        assert after.alpha_tau_powers_g1[j] == g1c.mul(
+            before.alpha_tau_powers_g1[j], alpha * pow(tau, j, r) % r
+        )
+    for i, f in enumerate(degree_bound_powers):
+        for k in range(3):
+            assert after.alpha_tau_powers_g1[3 + 3 * i + k] == g1c.mul(
+                before.alpha_tau_powers_g1[3 + 3 * i + k],
+                alpha * f % r * pow(tau, k, r) % r,
+            )
+
+
+def test_marlin_aggregate_verification_accepts(marlin_contribution):
+    params, inp, out, pubkey, privkey, digest = marlin_contribution
+    Phase1.aggregate_verification(
+        out, UseCompression.NO, CheckForCorrectness.NO, params,
+        rlc_rng=random.Random(11),
+    )
+
+
+def test_marlin_aggregate_verification_rejects_tamper(marlin_contribution):
+    params, inp, out, pubkey, privkey, digest = marlin_contribution
+    bad = bytearray(out)
+    bad[64 + 7] ^= 0x01
+    with pytest.raises(Error):
+        Phase1.aggregate_verification(
+            bad, UseCompression.NO, CheckForCorrectness.NO, params,
+            rlc_rng=random.Random(11),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Chunked mode: every chunk index through computation + verification
+# ---------------------------------------------------------------------------
+
+
+def _chunk_contribution(chunk_index: int, proving_system=ProvingSystem.GROTH16):
+    params = Phase1Parameters.new_chunk(
+        CURVE, ContributionMode.CHUNKED, chunk_index, CHUNK, proving_system, POWER, BATCH
+    )
+    inp = generate_input(params, UseCompression.NO)
+    out = generate_output(params, UseCompression.YES)
+    rng = derive_rng_from_seed(b"chunked seed")
+    digest = blank_hash()
+    pubkey, privkey = Phase1.key_generation(params.spec, rng, digest)
+    Phase1.computation(
+        inp, out, UseCompression.NO, UseCompression.YES,
+        CheckForCorrectness.NO, BatchExpMode.AUTO, privkey, params,
+    )
+    return params, inp, out, pubkey, digest
+
+
+def _num_chunks(proving_system=ProvingSystem.GROTH16):
+    full = Phase1Parameters.new_full(CURVE, proving_system, POWER, BATCH)
+    upper = (
+        full.powers_g1_length
+        if proving_system is ProvingSystem.GROTH16
+        else full.powers_length
+    )
+    return -(-upper // CHUNK)
+
+
+def test_chunked_verification_every_chunk_index():
+    for chunk_index in range(_num_chunks()):
+        params, inp, out, pubkey, digest = _chunk_contribution(chunk_index)
+        new_challenge = generate_output(params, UseCompression.NO)
+        Phase1.verification(
+            inp, out, new_challenge, pubkey, digest,
+            UseCompression.NO, UseCompression.YES, UseCompression.NO,
+            CheckForCorrectness.NO, CheckForCorrectness.FULL,
+            SubgroupCheckMode.AUTO, True, params, rlc_rng=random.Random(3),
+        )
+        after = Phase1.deserialize(out, UseCompression.YES, CheckForCorrectness.NO, params)
+        decomp = Phase1.deserialize(
+            new_challenge, UseCompression.NO, CheckForCorrectness.NO, params
+        )
+        assert decomp.tau_powers_g1 == after.tau_powers_g1, f"chunk {chunk_index}"
+        assert decomp.tau_powers_g2 == after.tau_powers_g2, f"chunk {chunk_index}"
+        assert decomp.alpha_tau_powers_g1 == after.alpha_tau_powers_g1, f"chunk {chunk_index}"
+        assert decomp.beta_tau_powers_g1 == after.beta_tau_powers_g1, f"chunk {chunk_index}"
+        if chunk_index == 0:
+            # verification writes beta_g2 into the new challenge only on
+            # chunk 0 (verification.rs:195-212); other chunks leave the
+            # slot as-is, exactly like the reference
+            assert decomp.beta_g2 == after.beta_g2
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: round trip + wrong-chunk fault (aggregation.rs:365-543)
+# ---------------------------------------------------------------------------
+
+
+def _all_chunk_responses():
+    return [_chunk_contribution(i) for i in range(_num_chunks())]
+
+
+def test_aggregation_roundtrip_and_wrong_chunk_rejection():
+    chunks = _all_chunk_responses()
+    full_params = Phase1Parameters.new_chunk(
+        CURVE, ContributionMode.CHUNKED, 0, CHUNK, ProvingSystem.GROTH16, POWER, BATCH
+    )
+
+    # good aggregation -> aggregate verification passes
+    output = bytearray(
+        full_params.into_chunk_parameters(ContributionMode.FULL, 0, CHUNK).accumulator_size
+    )
+    inputs = [(bytes(out), UseCompression.YES) for (_, _, out, _, _) in chunks]
+    Phase1.aggregation(inputs, output, UseCompression.NO, full_params)
+    full_mode_params = Phase1Parameters.new_full(CURVE, ProvingSystem.GROTH16, POWER, BATCH)
+    Phase1.aggregate_verification(
+        output, UseCompression.NO, CheckForCorrectness.NO, full_mode_params,
+        rlc_rng=random.Random(4),
+    )
+
+    # wrong chunks: chunk 0's response duplicated as chunk 1 must be rejected
+    bad_inputs = list(inputs)
+    bad_inputs[1] = inputs[0]
+    bad_output = bytearray(len(output))
+    Phase1.aggregation(bad_inputs, bad_output, UseCompression.NO, full_params)
+    with pytest.raises(Error):
+        Phase1.aggregate_verification(
+            bad_output, UseCompression.NO, CheckForCorrectness.NO, full_mode_params,
+            rlc_rng=random.Random(4),
+        )

@@ -1,17 +1,21 @@
-"""Phase-2 CLI E2E in-process at tiny scale, mirroring
+"""Phase-2 CLI E2E at tiny scale, mirroring
 phase2-cli/scripts/phase2_chunked.sh: create circuit → prepare transcript →
 new (chunked) → per-chunk contribute/verify by 2 participants → combine →
 prove+verify a real statement against combined.params (the test_circuit
-bin's acceptance gate)."""
+bin's acceptance gate).
+
+Each CLI command runs as a SUBPROCESS (like the reference's script-level CI,
+.github/workflows/cli.yml): running the ~15-command flow in one interpreter
+accumulated enough XLA:CPU compile state to segfault the final prove-time
+compile (jax 0.9, backend_compile_and_load). Fresh processes + the
+persistent compile cache keep it robust and test real argv parsing."""
 
 import os
+import subprocess
+import sys
 
 import pytest
 
-from snark_setup_tpu.cli import phase2_cmds
-from snark_setup_tpu.cli.circuit_main import main as circuit_main
-from snark_setup_tpu.cli.phase2_main import main as phase2_main
-from snark_setup_tpu.cli.prepare_phase2_main import main as prepare_main
 from snark_setup_tpu.curves.constants import get_curve
 from snark_setup_tpu.phase1.parameters import Phase1Parameters
 from snark_setup_tpu.phase1.testing import setup_verify
@@ -24,14 +28,26 @@ from snark_setup_tpu.utils.enums import (
 CURVE = "bls12_377"
 POWER = 4  # phase-1 powers; TestCircuit needs domain 8, h needs 2*8-1 tau_g1
 
+circuit_main = "snark_setup_tpu.cli.circuit_main"
+phase2_main = "snark_setup_tpu.cli.phase2_main"
+prepare_main = "snark_setup_tpu.cli.prepare_phase2_main"
 
-def run_in(tmp_path, fn, *args):
-    old = os.getcwd()
-    os.chdir(tmp_path)
-    try:
-        return fn(*args)
-    finally:
-        os.chdir(old)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_in(tmp_path, module, args):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("SNARK_SETUP_JAX_CACHE", os.path.join(_REPO, ".jax_cache"))
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", module, *args], cwd=tmp_path, env=env,
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+    return proc.returncode
 
 
 @pytest.fixture(scope="module")
