@@ -172,6 +172,9 @@ class PallasFieldMul:
         S = u.shape[1]
         B = u.shape[-1]
         G = len(weights)
+        if B == 0:
+            # associative_scan recursion leaves can produce empty slices
+            return jnp.zeros((L, G, 0), jnp.uint32)
         TB = min(self.TILE_B, B)
         # pad B to a multiple of TB
         Bp = -(-B // TB) * TB
