@@ -55,6 +55,35 @@ def rlc_scalars_padded(n: int, pad: int, bits: int = RLC_BITS, rng=None) -> np.n
 
 
 _ladder_cache: dict = {}
+_secret_cache: dict = {}
+
+
+def msm_secret(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray) -> PointVec:
+    """MSM for SECRET scalars (prover witness, key material): the
+    constant-time GLV ladder + tree reduce. No host digit recoding, no
+    data-dependent bucket gathers, no zero-scalar skipping — every scalar
+    does identical work, so timing and memory traffic are independent of
+    the witness. Bases must lie in the prime-order subgroup (GLV contract).
+
+    The jit is compiled with the persistent compilation cache disabled:
+    serializing this particular executable segfaults XLA:CPU (jax 0.9,
+    compilation_cache.py:265) — the cache is only toggled off around the
+    first (compiling) call per (ops, shape) signature."""
+    import jax
+
+    key = (id(ops), pts["x"].shape, scalars_raw.shape)
+    if key in _secret_cache:
+        return PointVec(_secret_cache[key](pts, scalars_raw))
+
+    f = jax.jit(lambda p, s: dict(ops.sum_reduce(ops.scalar_mul(p, s))))
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        out = f(pts, scalars_raw)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+    _secret_cache[key] = f
+    return PointVec(out)
 
 
 def msm_public(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray, nbits: int) -> PointVec:

@@ -52,6 +52,13 @@ def signed_digits_host(scalars_raw: np.ndarray, nbits: int, c: int = _DEF_C):
     # t = scalar + sum_k half * 2^(kc), carry-propagated in 16-bit limbs.
     # The constant needs ceil((nwin*c + 1) / 16) limbs; use one extra limb.
     const = sum(half << (k * c) for k in range(nwin))
+    # Only nwin digits are extracted, so t = scalar + const must fit in
+    # nwin*c bits. With current call sites (128-bit RLC, field-width
+    # scalars) this always holds; fail loudly if a future (nbits, c)
+    # combination would silently drop high bits and return a wrong MSM.
+    assert (1 << nbits) - 1 + const < 1 << (nwin * c), (
+        f"signed-digit recoding overflow: nbits={nbits} c={c} nwin={nwin}"
+    )
     L2 = max(Ls, (nwin * c + 1 + LIMB_BITS - 1) // LIMB_BITS) + 1
     t = np.zeros((L2, B), np.uint64)
     t[:Ls] = scalars_raw.astype(np.uint64)

@@ -878,22 +878,70 @@ def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
     return ops.to_affine_host(s)[0], ops.to_affine_host(sx)[0]
 
 
+SUBGROUP_BATCH_ROUNDS = 64
+"""Soundness parameter of the batched subgroup check: number of independent
+random-subset rounds. Escape probability <= 2^-SUBGROUP_BATCH_ROUNDS."""
+
+_batched_sg_cache: dict = {}
+
+
+def _batched_subgroup_sums(ops, pts: PointVec, bits_host) -> PointVec:
+    """ROUNDS random-subset sums of the point batch: sums[j] = sum over
+    {i : bits[j,i]} of P_i. One jitted lax.scan over rounds (masked select
+    to infinity + tree reduction per round)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (id(ops), pts["x"].shape, bits_host.shape)
+    if key not in _batched_sg_cache:
+
+        def f(p, bits):
+            inf = ops.infinity((bits.shape[-1],))
+
+            def rnd(_, b):
+                masked = ops.select(b, p, inf)
+                return None, dict(ops.sum_reduce(masked))
+
+            _, sums = jax.lax.scan(rnd, None, bits)
+            # scan stacks the per-round single points on a leading axis:
+            # (rounds, L[, d], 1) -> (L[, d], rounds)
+            return {k: jnp.moveaxis(v[..., 0], 0, -1) for k, v in sums.items()}
+
+        _batched_sg_cache[key] = jax.jit(f)
+    return PointVec(_batched_sg_cache[key](pts, bits_host))
+
+
 def _check_subgroup_device(
     codec: BatchPointCodec, pts: PointVec, mode: SubgroupCheckMode, n: int
 ) -> None:
     """Nonzero assumed already checked. Direct: r*P == O per element.
-    Batched: real random-linear-combination check (the reference stubs this,
-    elements.rs:123-139 — implemented here): Q = sum t_i P_i with 128-bit
-    random t_i, then subgroup-check the single point Q. Auto: Direct below
-    2^12 elements, else Batched (accumulator.rs:109-119 crossover).
+    Auto: Direct below 2^12 elements, else Batched (accumulator.rs:109-119
+    crossover; the reference stubs Batched, elements.rs:123-139 — here it is
+    real AND sound).
 
-    The RLC multiplication MUST NOT use the GLV path: GLV computes
-    k1 P + k2 phi(P), which equals [k]P only inside the subgroup — the very
-    property under test. _msm_device uses the raw windowed ladder or the
-    Pippenger bucket kernel (complete formulas, no endomorphism). Scalars
-    are zero-padded to the (padded) point batch so jitted kernels see one
-    shape per section; padding rows multiply infinity points and contribute
-    the identity."""
+    Batched soundness (why a single random linear combination is NOT used):
+    writing P_i = S_i + T_i with S_i in the order-r subgroup and T_i in the
+    cofactor group, a single RLC Q = sum t_i P_i escapes detection when
+    sum t_i T_i = 0, which for a torsion component of small prime order l
+    (l | cofactor; l=2 on BLS12-377 G1) happens with probability 1/l — NOT
+    2^-128, however wide the t_i are (only t_i mod l matters). No one-MSM
+    trick fixes this: one linear functional mod 2 yields one bit of
+    soundness. So the check runs SUBGROUP_BATCH_ROUNDS independent
+    random-subset rounds: Q_j = sum over a uniform subset of the batch, and
+    each Q_j gets the full Direct check ([r]Q_j == O; r is coprime to the
+    cofactor, so any surviving torsion component fails it). For any nonzero
+    torsion vector, P[subset sum has zero torsion] <= 1/2 per round for
+    EVERY cofactor prime, so the escape probability is <= 2^-ROUNDS
+    independent of the cofactor factorization. Cost: ROUNDS complete adds
+    per point (~768 Fq muls at ROUNDS=64) vs a full-order ladder per point
+    for Direct (~2.9k muls) — still a ~4x win at production batch sizes.
+
+    The per-round Direct check on the Q_j MUST NOT use the GLV path: GLV
+    computes k1 P + k2 phi(P), which equals [k]P only inside the subgroup —
+    the very property under test. codec.subgroup_mask_direct uses the raw
+    windowed ladder (complete formulas, no endomorphism). Padding columns
+    beyond n hold infinity points and contribute the identity to every
+    subset sum."""
     import jax.numpy as jnp
 
     if mode is SubgroupCheckMode.NO:
@@ -907,10 +955,14 @@ def _check_subgroup_device(
         if not bool(jnp.all(ok | ops.is_infinity(pts))):
             raise IncorrectSubgroupError("element not in prime-order subgroup")
     else:
+        import secrets
+
         pad = int(pts["x"].shape[-1])
-        scalars = _rng_scalars_padded(n, pad, bits=128)
-        q = _msm_device(ops, pts, scalars, 128)
-        ok = codec._subgroup_jit(q) | ops.is_infinity(q)
+        rounds = SUBGROUP_BATCH_ROUNDS
+        raw = np.frombuffer(secrets.token_bytes(rounds * pad), np.uint8)
+        bits = (raw.reshape(rounds, pad) & 1).astype(bool)
+        sums = _batched_subgroup_sums(ops, pts, bits)
+        ok = codec._subgroup_jit(sums) | ops.is_infinity(sums)
         if not bool(jnp.all(ok)):
             raise IncorrectSubgroupError("batched subgroup check failed")
 

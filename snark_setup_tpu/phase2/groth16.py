@@ -32,23 +32,32 @@ class Proof:
 
 
 def _msm_device(spec: CurveSpec, group: str, pts: list[AffinePoint], scalars: list[int]) -> AffinePoint:
-    """Device MSM, skipping zero scalars / infinity bases on host."""
-    pairs = [(p, s % spec.r) for p, s in zip(pts, scalars) if s % spec.r and not p.is_infinity]
-    if not pairs:
+    """Prove-time MSM over SECRET scalars (witness / h-coefficients).
+
+    Routes through ops.msm.msm_secret — the constant-time GLV ladder — not
+    msm_public: Pippenger's host digit recoding and data-dependent bucket
+    gather/scatter indices would leak the witness through timing and
+    memory-access side channels. No scalar-dependent filtering happens
+    here either: zero scalars ride the ladder like any other value (the
+    complete formulas yield the identity), so the device work and the
+    batch geometry depend only on the public key shape. Bases come from
+    verified MPC parameters, hence lie in the prime-order subgroup — the
+    GLV contract. (Host-side bigint packing of the scalars remains
+    Python-int arithmetic; its data-dependent timing is the residual
+    side channel, noted per ADVICE r2.)"""
+    if not pts:
         from ..curves.host import INFINITY
 
         return INFINITY
+    assert len(pts) == len(scalars)
     ops = curve_ops(spec.name, group)
-    pv = ops.from_affine_host([p for p, _ in pairs])
+    pv = ops.from_affine_host(pts)
     raw = np.ascontiguousarray(
-        ints_to_limbs_batch([s for _, s in pairs], ops.fr.L).T
+        ints_to_limbs_batch([s % spec.r for s in scalars], ops.fr.L).T
     )
-    # shared public-scalar MSM (windowed ladder / Pippenger): jitting the
-    # GLV ops.msm here produced an executable whose persistent-cache
-    # serialization segfaults XLA:CPU (jax 0.9, compilation_cache.py:265)
-    from ..ops.msm import msm_public
+    from ..ops.msm import msm_secret
 
-    out = msm_public(ops, pv, raw, ops.scalar_bits)
+    out = msm_secret(ops, pv, raw)
     return ops.to_affine_host(out)[0]
 
 
