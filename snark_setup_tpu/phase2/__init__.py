@@ -6,21 +6,31 @@ transcript, QAP evaluation against phase-1 Lagrange coefficients, and a
 streaming (chunked) mode for parameter sets that exceed memory. The compute
 hot paths — Lagrange IFFT, QAP sparse dot products, delta^-1 batch
 multiplication, RLC ratio-check MSMs — run on TPU.
+
+Exports resolve lazily (PEP 562) so the JAX-free participant path
+(portable/contributor.py -> phase2.keypair) can import without pulling the
+TPU modules (lagrange -> ntt -> jax) into the process.
 """
 
-from .keypair import Keypair, Phase2PublicKey, hash_cs_pub_keys
-from .lagrange import Groth16Params
-from .load_circuit import Matrices
-from .parameters import MPCParameters, ProvingKey, VerifyingKey, verify_transcript
+_EXPORTS = {
+    "Keypair": "keypair",
+    "Phase2PublicKey": "keypair",
+    "hash_cs_pub_keys": "keypair",
+    "Groth16Params": "lagrange",
+    "Matrices": "load_circuit",
+    "MPCParameters": "parameters",
+    "ProvingKey": "parameters",
+    "VerifyingKey": "parameters",
+    "verify_transcript": "parameters",
+}
 
-__all__ = [
-    "Keypair",
-    "Phase2PublicKey",
-    "hash_cs_pub_keys",
-    "Groth16Params",
-    "Matrices",
-    "MPCParameters",
-    "ProvingKey",
-    "VerifyingKey",
-    "verify_transcript",
-]
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        mod = importlib.import_module(f".{_EXPORTS[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)
