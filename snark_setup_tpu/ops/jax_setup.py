@@ -20,6 +20,24 @@ def configure_jax() -> None:
     # filesystem, which dwarfs the compile time they save.
     cache_dir = os.environ.get("SNARK_SETUP_JAX_CACHE")
     if cache_dir:
+        # Scope the cache per machine: XLA:CPU AOT results bake in the
+        # compiling host's CPU feature set, and jax's cache key does NOT —
+        # loading an entry produced on a different box emits "machine
+        # features mismatch" warnings and can SIGILL/segfault mid-test
+        # (observed 2026-08-21: round-2 cache entries crashed round-3's
+        # box inside backend_compile_and_load). A cpuinfo-flags hash keys
+        # the subdirectory so every machine builds its own entries.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(
+                    (ln for ln in f if ln.startswith("flags")), ""
+                )
+            tag = hashlib.blake2s(flags.encode(), digest_size=6).hexdigest()
+        except OSError:  # non-Linux: fall back to a shared dir
+            tag = "any"
+        cache_dir = os.path.join(cache_dir, tag)
         os.makedirs(cache_dir, exist_ok=True)
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
