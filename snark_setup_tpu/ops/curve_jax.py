@@ -501,6 +501,28 @@ class CurveOps:
         m1, neg1, m2, neg2 = self.glv.decompose(scalars_raw)
         d1 = self.scalar_digits_msb(m1, w, nbits)
         d2 = self.scalar_digits_msb(m2, w, nbits)
+
+        import os
+
+        from .pallas_field import pallas_enabled
+
+        if (
+            pallas_enabled()
+            and self.field.degree == 1
+            and os.environ.get("SNARK_SETUP_FUSED_LADDER", "0") in ("1", "on")
+        ):
+            # whole-ladder fused kernel: table + accumulator stay in VMEM
+            # for all windows (pallas_ladder.py). OPT-IN: measured 15.2k
+            # exp/s/chip at TILE_B=512 vs 32.5k for the stacked-round path
+            # at batch 16k — the multi-kernel path was compute- (not HBM-)
+            # bound, so fusing buys nothing and Mosaic's codegen for the
+            # limb loops trails XLA fusion. Kept as the base for the
+            # VMEM-resident variants (and it IS the faster path below
+            # batch ~1k, where dispatch overhead dominates the old path).
+            from .pallas_ladder import fused_ladder_for
+
+            lad = fused_ladder_for(self.spec.name, self.group_name)
+            return lad(p, d1, d2, neg1, neg1 != neg2)
         B = scalars_raw.shape[-1]
 
         F = self.field

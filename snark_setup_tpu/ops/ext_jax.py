@@ -105,13 +105,19 @@ class BaseFieldOps:
         """G Montgomery products, each a weighted sum of S stacked products:
         out[:, g] = redc(sum_s weights[g][s] * cols(U_s * V_s)).
 
-        U, V: (L, S, *batch). On a TPU backend this is ONE fused pallas
-        kernel per batch tile (ops/pallas_field.py) — the (L, L, B) product
-        table never leaves VMEM; elsewhere it is the jnp column-space path."""
-        from .pallas_field import pallas_enabled, pallas_mul_for
+        U, V: (L, S, *batch). On a TPU backend the schoolbook product runs
+        as a pallas kernel per batch tile (ops/pallas_field.py) — the
+        (L, L, B) product table never leaves VMEM — and the Montgomery
+        reduction rides the MXU as constant Toeplitz matmuls
+        (fp_jax.redc_cols_matmul); elsewhere it is the jnp column path."""
+        from .pallas_field import mxu_redc_enabled, pallas_enabled, pallas_mul_for
 
         if pallas_enabled() and U.ndim == 3:
-            return pallas_mul_for(self.fp.modulus)(U, V, weights)
+            pm = pallas_mul_for(self.fp.modulus)
+            if mxu_redc_enabled():
+                cols = pm.cols(U, V, weights)  # (2L, G, B)
+                return self.fp.redc_cols_matmul(cols, nprod)
+            return pm(U, V, weights)
         W = self.prod_cols(U, V)  # (2L, S, *batch)
         groups = []
         for g_w in weights:
@@ -211,10 +217,11 @@ class _ExtCommon:
         On TPU the tower products flatten into the SAME base-field pallas
         kernel: every output coefficient of every curve-level group is a
         weighted sum of base products, so the composite (curve ⊗ tower)
-        weight matrix drives one fused kernel call. Fallback: prod_cols
-        handles the tower merge per stacked element, then the curve-level
-        weighted merge runs over the S axis before one REDC."""
-        from .pallas_field import pallas_enabled, pallas_mul_for
+        weight matrix drives one fused kernel call (with the reduction on
+        the MXU when enabled). Fallback: prod_cols handles the tower merge
+        per stacked element, then the curve-level weighted merge runs over
+        the S axis before one REDC."""
+        from .pallas_field import mxu_redc_enabled, pallas_enabled, pallas_mul_for
 
         if pallas_enabled() and U.ndim == 4:
             d = self.degree
@@ -252,7 +259,12 @@ class _ExtCommon:
                         for t_idx, tw in t_of_c[c]:
                             row[s * T + t_idx] = w * tw
                     comp.append(tuple(row))
-            out = pallas_mul_for(self.fp.modulus)(Ub, Vb, tuple(comp))
+            pm = pallas_mul_for(self.fp.modulus)
+            if mxu_redc_enabled():
+                cols = pm.cols(Ub, Vb, tuple(comp))  # (2L, G*d, B)
+                out = self.fp.redc_cols_matmul(cols, nprod)
+            else:
+                out = pm(Ub, Vb, tuple(comp))
             # (L, G*d, B) with index g*d + c -> (L, d, G, B)
             B = out.shape[-1]
             L = out.shape[0]

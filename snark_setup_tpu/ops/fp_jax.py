@@ -193,7 +193,15 @@ class FpOps:
         """Montgomery-reduce a column-space value V (< nprod * N^2) to
         V * R^{-1} mod N. `nprod` is the host-known bound on how many plain
         products were accumulated (incl. small-constant weights); requires
-        nprod * N < R, asserted."""
+        nprod * N < R, asserted.
+
+        On TPU backends this dispatches to the Toeplitz-matmul variant
+        (see redc_cols_matmul): faster (MXU) and immune to the large-batch
+        fused-redc miscompile documented there."""
+        from .pallas_field import mxu_redc_enabled
+
+        if mxu_redc_enabled():
+            return self.redc_cols_matmul(cols, nprod)
         assert nprod * self.modulus < self.spec.mont_r_pow, "REDC bound violated"
         L = self.L
         t = _resolve_carries(cols)  # 2L limbs < 2^16, exact value T
@@ -207,6 +215,73 @@ class FpOps:
 
     def _bc(self, c: np.ndarray, like: jnp.ndarray) -> np.ndarray:
         return c.reshape(self.L, *([1] * (like.ndim - 1)))
+
+    # -- MXU (Toeplitz-matmul) Montgomery reduction ------------------------
+    # Both REDC multiplies have one CONSTANT operand: m = t_low * N' mod R
+    # and u = m * N. Over 8-bit limb planes those are matmuls by constant
+    # Toeplitz matrices — products fit f32 exactly (terms < 2^16, sums of
+    # <= 2*L8 <= 192 terms < 2^24 mantissa) — so ~60% of the MAC work per
+    # Montgomery mul rides the MXU instead of the VPU. This path is also
+    # the WORKAROUND for an XLA:TPU miscompile of the fused column-space
+    # redc_cols at batch >= 16384 (observed 2026-08-21 on v5e: every lane
+    # wrong at B=16384, correct <= 12288; school_cols/_low_mul pass in
+    # isolation at every size — only the fused redc graph breaks. The
+    # matmul formulation is host-verified correct at every size).
+    def _toeplitz8(self):
+        if not hasattr(self, "_T8"):
+            L8 = 2 * self.L
+
+            def l8(v, n):
+                return np.array([(v >> (8 * i)) & 0xFF for i in range(n)], np.float32)
+
+            N8 = l8(self.modulus, L8)
+            Np8 = l8(self.spec.n0_inv, L8)
+            ki = np.arange(L8)[:, None]
+            ii = np.arange(L8)[None, :]
+            d = ki - ii
+            T_low = np.where(d >= 0, Np8[np.clip(d, 0, L8 - 1)], 0.0).astype(np.float32)
+            k2 = np.arange(2 * L8)[:, None]
+            d2 = k2 - ii
+            T_full = np.where(
+                (d2 >= 0) & (d2 < L8), N8[np.clip(d2, 0, L8 - 1)], 0.0
+            ).astype(np.float32)
+            self._T8 = (T_low, T_full)
+        return self._T8
+
+    @staticmethod
+    def _to8(t16: jnp.ndarray) -> jnp.ndarray:
+        """(R, B) uint32 16-bit limbs -> (2R, B) f32 8-bit limb planes."""
+        lo = (t16 & np.uint32(0xFF)).astype(jnp.float32)
+        hi = ((t16 >> 8) & np.uint32(0xFF)).astype(jnp.float32)
+        return jnp.concatenate([lo[:, None], hi[:, None]], axis=1).reshape(
+            2 * t16.shape[0], -1
+        )
+
+    @staticmethod
+    def _fold16(cols8: jnp.ndarray) -> jnp.ndarray:
+        """(2R, B) f32 base-2^8 columns (< 2^24) -> (R, B) uint32 base-2^16
+        columns (< 2^30)."""
+        c = cols8.astype(jnp.uint32)
+        return c[0::2] + (c[1::2] << 8)
+
+    def redc_cols_matmul(self, cols: jnp.ndarray, nprod: int = 1) -> jnp.ndarray:
+        """redc_cols twin with the two constant multiplies on the MXU."""
+        assert nprod * self.modulus < self.spec.mont_r_pow, "REDC bound violated"
+        L = self.L
+        shape = cols.shape
+        flat = cols.reshape(2 * L, -1)
+        t = _resolve_carries(flat)
+        T_low, T_full = self._toeplitz8()
+        m16 = self._fold16(
+            jnp.dot(T_low, self._to8(t[:L]), preferred_element_type=jnp.float32)
+        )
+        m = _resolve_carries(m16)
+        u16 = self._fold16(
+            jnp.dot(T_full, self._to8(m), preferred_element_type=jnp.float32)
+        )
+        s = _resolve_carries(t + u16)
+        res = self._cond_sub_n(s[L:])
+        return res.reshape(L, *shape[1:])
 
     def _low_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """(a * b) mod R: only the low L columns, carry-resolved."""

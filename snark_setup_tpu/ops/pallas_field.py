@@ -45,6 +45,23 @@ def pallas_enabled() -> bool:
         return False
 
 
+def mxu_redc_enabled() -> bool:
+    """Gate for the Toeplitz-matmul Montgomery reduction (fp_jax
+    .redc_cols_matmul): on for TPU backends (where the constant multiplies
+    ride the MXU and the fused VPU redc graph miscompiles at batch >=
+    2^14), overridable with SNARK_SETUP_MXU_REDC=0/1 (1 also forces it on
+    CPU — exact there too, just not faster — which is how tests cover it)."""
+    flag = os.environ.get("SNARK_SETUP_MXU_REDC", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _shift_up_u32(x, dd, L):
     pad = [(dd, 0)] + [(0, 0)] * (x.ndim - 1)
     return jnp.pad(x, pad)[:L]
@@ -90,17 +107,68 @@ def _sub_with_borrow_kernel(a, b):
 
 def _school_cols_accum(a, b, acc, weight: int):
     """acc (2L, TB) += weight * columns(a * b) for a, b (L, TB): static loop
-    over a's limbs, no (L, L, TB) table. Alignment uses jnp.pad (pure
-    concatenation) — .at[].add scatters capture constants pallas rejects."""
+    over a's limbs, no (L, L, TB) table. Alignment uses STATIC-slice
+    .at[i:i+L].add — an L-row read-modify-write — instead of padding each
+    partial to 2L rows and adding full-width (the pad variant moves ~2x the
+    vregs per limb and measurably halved fused-ladder throughput). The lo
+    and hi parts combine at one shifted add so each limb costs one L-row
+    multiply + one (L+1)-row update."""
     L = a.shape[0]
     w = np.uint32(weight)
     for i in range(L):
         prod = a[i][None, :] * b  # (L, TB) exact in uint32
         lo = w * (prod & MASK)
         hi = w * (prod >> SHIFT)
-        acc = acc + jnp.pad(lo, [(i, L - i), (0, 0)])
-        acc = acc + jnp.pad(hi, [(i + 1, L - i - 1), (0, 0)])
+        # rows [i, i+L) += lo ; rows [i+1, i+L+1) += hi  -> one fused
+        # (L+1)-row window [lo, 0] + [0, hi] added to a STATIC slice and
+        # stitched back with concatenate. (.at[].add lowers to a scatter
+        # whose captured index constants pallas rejects; dynamic_slice on
+        # values has no Pallas TPU lowering — static slices + concat is
+        # the pattern Mosaic lowers efficiently, and it halves the
+        # row-copy traffic of padding lo/hi to 2L and adding full-width.)
+        win = jnp.concatenate([lo[:1], lo[1:] + hi[:-1], hi[-1:]], 0)
+        parts = []
+        if i:
+            parts.append(acc[:i])
+        parts.append(acc[i : i + L + 1] + win)
+        if i + L + 1 < 2 * L:
+            parts.append(acc[i + L + 1 :])
+        acc = jnp.concatenate(parts, axis=0)
     return acc
+
+
+def _redc_kernel(acc, N_b, Np_b):
+    """Kernel-side Montgomery reduction of a (2L, TB) column accumulator to
+    an (L, TB) element < N. N_b, Np_b: (L, TB)-broadcast modulus / -N^{-1}
+    mod 2^16 limb rows. Twin of fp_jax.redc_cols; shared by the stacked-mul
+    kernel below and the fused ladder kernel (pallas_ladder.py)."""
+    L = N_b.shape[0]
+    TB = acc.shape[-1]
+    # REDC: t = resolve(acc); m = (t_low * N') mod R; u = m*N;
+    # out = high(resolve(t + u)) (- N if >= N)
+    t = _resolve_carries_kernel(acc)
+    # m = low L columns of t_low * Np (same static-slice update pattern as
+    # _school_cols_accum, truncated at row L)
+    m_acc = jnp.zeros((L, TB), jnp.uint32)
+    for i in range(L):
+        prod = t[i][None, :] * Np_b
+        lo = prod & MASK
+        hi = prod >> SHIFT
+        if i + 1 < L:
+            win = jnp.concatenate([lo[:1], lo[1 : L - i] + hi[: L - i - 1]], 0)
+        else:
+            win = lo[:1]
+        if i:
+            m_acc = jnp.concatenate([m_acc[:i], m_acc[i:] + win], axis=0)
+        else:
+            m_acc = m_acc + win
+    m = _ks_carry_kernel((m_acc & MASK) + jnp.pad(m_acc >> SHIFT, [(1, 0), (0, 0)])[:L])
+    u_acc = _school_cols_accum(m, N_b, jnp.zeros((2 * L, TB), jnp.uint32), 1)
+    s_full = _resolve_carries_kernel(t + u_acc)
+    res = s_full[L:]
+    diff, no_borrow = _sub_with_borrow_kernel(res, N_b)
+    # no_borrow == 1 -> res >= N -> keep the subtracted value
+    return jnp.where(no_borrow > 0, diff, res)
 
 
 def _make_kernel(L: int, S: int, G: int, weights: tuple):
@@ -110,8 +178,8 @@ def _make_kernel(L: int, S: int, G: int, weights: tuple):
 
     def kernel(u_ref, v_ref, n_ref, np_ref, out_ref):
         TB = u_ref.shape[-1]
-        N_col = n_ref[:]  # (L, 1)
-        Np_col = np_ref[:]
+        N_b = jnp.broadcast_to(n_ref[:], (L, TB))
+        Np_b = jnp.broadcast_to(np_ref[:], (L, TB))
         for g in range(G):
             acc = jnp.zeros((2 * L, TB), jnp.uint32)
             for s in range(S):
@@ -119,33 +187,28 @@ def _make_kernel(L: int, S: int, G: int, weights: tuple):
                 if w == 0:
                     continue
                 acc = _school_cols_accum(u_ref[:, s], v_ref[:, s], acc, w)
-            # REDC: t = resolve(acc); m = (t_low * N') mod R; u = m*N;
-            # out = high(resolve(t + u)) (- N if >= N)
-            t = _resolve_carries_kernel(acc)
-            # m = low L columns of t_low * Np
-            Np_b = jnp.broadcast_to(Np_col, (L, TB))
-            m_acc = jnp.zeros((L, TB), jnp.uint32)
-            for i in range(L):
-                prod = t[i][None, :] * Np_b
-                lo = prod & MASK
-                hi = prod >> SHIFT
-                m_acc = m_acc + jnp.pad(lo[: L - i], [(i, 0), (0, 0)])
-                if i + 1 < L:
-                    m_acc = m_acc + jnp.pad(hi[: L - i - 1], [(i + 1, 0), (0, 0)])
-            m = _ks_carry_kernel((m_acc & MASK) + jnp.pad(m_acc >> SHIFT, [(1, 0), (0, 0)])[:L])
-            N_b = jnp.broadcast_to(N_col, (L, TB))
-            u_acc = jnp.zeros((2 * L, TB), jnp.uint32)
-            for i in range(L):
-                prod = m[i][None, :] * N_b
-                lo = prod & MASK
-                hi = prod >> SHIFT
-                u_acc = u_acc + jnp.pad(lo, [(i, L - i), (0, 0)])
-                u_acc = u_acc + jnp.pad(hi, [(i + 1, L - i - 1), (0, 0)])
-            s_full = _resolve_carries_kernel(t + u_acc)
-            res = s_full[L:]
-            diff, no_borrow = _sub_with_borrow_kernel(res, N_b)
-            # no_borrow == 1 -> res >= N -> keep the subtracted value
-            out_ref[:, g, :] = jnp.where(no_borrow > 0, diff, res)
+            out_ref[:, g, :] = _redc_kernel(acc, N_b, Np_b)
+
+    return kernel
+
+
+def _make_cols_kernel(L: int, S: int, G: int, weights: tuple):
+    """Product-columns-only kernel: the (L, L, TB) schoolbook table stays in
+    VMEM but the Montgomery reduction is NOT fused — the caller reduces the
+    (2L, G, B) output with the MXU Toeplitz matmuls (fp_jax
+    .redc_cols_matmul). Splitting here lets XLA overlap the VPU product of
+    one launch with the MXU reduction of the previous one."""
+
+    def kernel(u_ref, v_ref, out_ref):
+        TB = u_ref.shape[-1]
+        for g in range(G):
+            acc = jnp.zeros((2 * L, TB), jnp.uint32)
+            for s in range(S):
+                w = weights[g][s]
+                if w == 0:
+                    continue
+                acc = _school_cols_accum(u_ref[:, s], v_ref[:, s], acc, w)
+            out_ref[:, g, :] = acc
 
     return kernel
 
@@ -200,6 +263,42 @@ class PallasFieldMul:
                 interpret=interpret,
             )
         out = self._cache[key](u, v, self.N_row[:, None], self.Np_row[:, None])
+        if Bp != B:
+            out = out[..., :B]
+        return out
+
+    def cols(self, u, v, weights: tuple, interpret: bool = False):
+        """Like __call__ but returns UNREDUCED column sums (2L, G, B) for
+        the MXU Toeplitz reduction (fp_jax.redc_cols_matmul)."""
+        from jax.experimental import pallas as pl
+
+        L = self.L
+        S = u.shape[1]
+        B = u.shape[-1]
+        G = len(weights)
+        if B == 0:
+            return jnp.zeros((2 * L, G, 0), jnp.uint32)
+        TB = min(self.TILE_B, B)
+        Bp = -(-B // TB) * TB
+        if Bp != B:
+            pad = [(0, 0), (0, 0), (0, Bp - B)]
+            u = jnp.pad(u, pad)
+            v = jnp.pad(v, pad)
+        key = ("cols", S, G, weights, TB, Bp, interpret)
+        if key not in self._cache:
+            kernel = _make_cols_kernel(L, S, G, weights)
+            self._cache[key] = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((2 * L, G, Bp), jnp.uint32),
+                grid=(Bp // TB,),
+                in_specs=[
+                    pl.BlockSpec((L, S, TB), lambda i: (0, 0, i)),
+                    pl.BlockSpec((L, S, TB), lambda i: (0, 0, i)),
+                ],
+                out_specs=pl.BlockSpec((2 * L, G, TB), lambda i: (0, 0, i)),
+                interpret=interpret,
+            )
+        out = self._cache[key](u, v)
         if Bp != B:
             out = out[..., :B]
         return out
