@@ -382,17 +382,30 @@ class BatchPointCodec:
         neg = self.y_is_negative(y)
         return self.fp.from_mont(x), self.fp.from_mont(y), inf, neg
 
-    def write_batch(
+    def write_batch_start(self, p: PointVec, normalized: bool = False):
+        """Dispatch the device side of write_batch (normalize, de-Montgomery,
+        sign/infinity flags) and start ASYNC device->host copies of the four
+        outputs. Returns an opaque handle for write_batch_finish. Lets a
+        batch pipeline overlap the (tunneled) readback of batch i with the
+        compute of batches i+1.. (VERDICT r1 #8)."""
+        jit_fn = self._write_norm_jit if normalized else self._write_jit
+        parts = jit_fn(p)
+        for a in parts:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:  # non-jax array (e.g. host fallback)
+                pass
+        return parts
+
+    def write_batch_finish(
         self,
-        p: PointVec,
+        parts,
         compression: UseCompression,
-        normalized: bool = False,
         n_valid: int | None = None,
     ) -> bytes:
-        """Device points -> wire bytes. Normalizes (batch-inverts Z) unless
-        the caller guarantees affine form. `n_valid` drops padding rows."""
-        jit_fn = self._write_norm_jit if normalized else self._write_jit
-        x_std, y_std, inf, neg = jit_fn(p)
+        """Host half of write_batch: block on the async copies and pack
+        wire bytes."""
+        x_std, y_std, inf, neg = parts
         neg = np.asarray(neg)
         inf_np = np.asarray(inf)
         x_std = np.asarray(x_std)
@@ -428,6 +441,19 @@ class BatchPointCodec:
             yb[:, -1] |= flags.astype(np.uint8)
             out = np.concatenate([xb, yb], axis=1)
         return out.tobytes()
+
+    def write_batch(
+        self,
+        p: PointVec,
+        compression: UseCompression,
+        normalized: bool = False,
+        n_valid: int | None = None,
+    ) -> bytes:
+        """Device points -> wire bytes. Normalizes (batch-inverts Z) unless
+        the caller guarantees affine form. `n_valid` drops padding rows."""
+        return self.write_batch_finish(
+            self.write_batch_start(p, normalized), compression, n_valid
+        )
 
 
 @functools.lru_cache(maxsize=None)

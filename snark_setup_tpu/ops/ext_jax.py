@@ -105,18 +105,32 @@ class BaseFieldOps:
         """G Montgomery products, each a weighted sum of S stacked products:
         out[:, g] = redc(sum_s weights[g][s] * cols(U_s * V_s)).
 
-        U, V: (L, S, *batch). On a TPU backend the schoolbook product runs
-        as a pallas kernel per batch tile (ops/pallas_field.py) — the
-        (L, L, B) product table never leaves VMEM — and the Montgomery
-        reduction rides the MXU as constant Toeplitz matmuls
-        (fp_jax.redc_cols_matmul); elsewhere it is the jnp column path."""
-        from .pallas_field import mxu_redc_enabled, pallas_enabled, pallas_mul_for
+        U, V: (L, S, *batch). On a TPU backend this runs as the fully-fused
+        u32 pallas kernel (ops/pallas_field.py: schoolbook + weighted merge
+        + REDC per batch tile, nothing leaves VMEM) — the fastest measured
+        config (benches/kernel_ab.py). Opt-in alternatives: the split
+        product-kernel + XLA MXU-Toeplitz redc (SNARK_SETUP_MXU_STACKED=1)
+        and the f32 byte-plane + in-kernel-MXU v2 (SNARK_SETUP_KERNEL_V2=1).
+        Elsewhere it is the jnp column path."""
+        from .pallas_field import (
+            kernel_v2_enabled,
+            kernel_v3_enabled,
+            mxu_stacked_forced,
+            pallas_enabled,
+            pallas_mul_for,
+        )
 
         if pallas_enabled() and U.ndim == 3:
             pm = pallas_mul_for(self.fp.modulus)
-            if mxu_redc_enabled():
+            if kernel_v2_enabled() and pm.v2_supported(weights):
+                return pm.v2(U, V, weights)
+            if kernel_v3_enabled():
+                return pm.v3(U, V, weights)
+            if mxu_stacked_forced():
                 cols = pm.cols(U, V, weights)  # (2L, G, B)
                 return self.fp.redc_cols_matmul(cols, nprod)
+            # default: fully-fused u32 kernel — fastest measured config
+            # (benches/kernel_ab.py: 44.6k vs 31.4k split vs 19.6k v2)
             return pm(U, V, weights)
         W = self.prod_cols(U, V)  # (2L, S, *batch)
         groups = []
@@ -259,8 +273,12 @@ class _ExtCommon:
                         for t_idx, tw in t_of_c[c]:
                             row[s * T + t_idx] = w * tw
                     comp.append(tuple(row))
+            from .pallas_field import kernel_v2_enabled, mxu_stacked_forced
+
             pm = pallas_mul_for(self.fp.modulus)
-            if mxu_redc_enabled():
+            if kernel_v2_enabled() and pm.v2_supported(tuple(comp)):
+                out = pm.v2(Ub, Vb, tuple(comp))
+            elif mxu_stacked_forced():
                 cols = pm.cols(Ub, Vb, tuple(comp))  # (2L, G*d, B)
                 out = self.fp.redc_cols_matmul(cols, nprod)
             else:

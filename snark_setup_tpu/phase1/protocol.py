@@ -167,16 +167,20 @@ class Phase1:
             fr = g1ops.fr
 
             # Bounded dispatch pipeline: scalar-muls for up to PIPELINE_DEPTH
-            # batches stay in flight on device before their (synchronizing)
-            # byte write-back, overlapping host packing with device compute —
-            # on the tunneled backend each sync is a full round trip.
+            # batches stay in flight on device; the write-back conversion is
+            # dispatched immediately and its device->host copies started
+            # ASYNC (write_batch_start), so the tunnel transfer of batch i
+            # overlaps the compute of batches i+1.. — flush only does the
+            # host-side byte packing on already-landed numpy data.
             PIPELINE_DEPTH = 4
             pending: list[tuple] = []
 
             def flush(limit: int = 0) -> None:
                 while len(pending) > limit:
-                    codec, section_out, sc, ec, prod, n = pending.pop(0)
-                    out_bytes = codec.write_batch(prod, compressed_output, n_valid=n)
+                    codec, section_out, sc, ec, parts, n = pending.pop(0)
+                    out_bytes = codec.write_batch_finish(
+                        parts, compressed_output, n_valid=n
+                    )
                     section_out.slice_of(output, sc, ec)[:] = out_bytes
 
             def apply_powers(
@@ -211,7 +215,8 @@ class Phase1:
                     s, e = exp_range
                     raw = _tau_powers_raw(fr, key.tau, s, s + pad, coeff, as_numpy=False)
                 prod = _scalar_mul_jit(codec.ops, pts, raw)
-                pending.append((codec, section_out, sc, ec, prod, n))
+                parts = codec.write_batch_start(prod)
+                pending.append((codec, section_out, sc, ec, parts, n))
                 flush(limit=PIPELINE_DEPTH - 1)
 
             if parameters.proving_system is ProvingSystem.GROTH16:

@@ -112,24 +112,34 @@ def _batched_mul_inplace(
     compression: UseCompression,
     check: CheckForCorrectness,
 ) -> None:
-    """mul_query over batches (chunked_groth16.rs:387-466), device-batched."""
+    """mul_query over batches (chunked_groth16.rs:387-466), device-batched
+    with a bounded async pipeline: batch i's device->host copy overlaps the
+    compute of batches i+1.. (batches within a span are disjoint byte
+    ranges, so deferred write-back is safe)."""
     codec = batch_codec(spec.name, "g1")
     ops = codec.ops
     import jax
 
     mul = jax.jit(ops.scalar_mul)
+    raw = np.ascontiguousarray(
+        np.broadcast_to(ints_to_limbs_batch([scalar], ops.fr.L).T, (ops.fr.L, batch_size))
+    )
+    pending: list[tuple] = []
+
+    def flush(limit: int = 0) -> None:
+        while len(pending) > limit:
+            start, end, parts, n = pending.pop(0)
+            buf[start:end] = codec.write_batch_finish(parts, compression, n_valid=n)
+
     for lo in range(0, span.count, batch_size):
         hi = min(lo + batch_size, span.count)
         start = span.offset + lo * span.el_size
         end = span.offset + hi * span.el_size
         pts = codec.read_batch(bytes(buf[start:end]), compression, check, pad_to=batch_size)
-        raw = np.ascontiguousarray(
-            np.broadcast_to(
-                ints_to_limbs_batch([scalar], ops.fr.L).T, (ops.fr.L, batch_size)
-            )
-        )
         out = mul(pts, raw)
-        buf[start:end] = codec.write_batch(out, compression, n_valid=hi - lo)
+        pending.append((start, end, codec.write_batch_start(out), hi - lo))
+        flush(limit=3)
+    flush()
 
 
 def contribute(

@@ -106,3 +106,69 @@ def test_pallas_group_law_interpret():
         F.mul_stacked = orig
     assert s == [hc.add(a, b) for a, b in zip(pts_h, q_h)]
     assert d == [hc.add(a, a) for a in pts_h]
+
+
+@pytest.mark.parametrize("curve", ["bls12_377", "bw6_761"])
+def test_pallas_v2_fused_matches_host(curve):
+    """v2 fused kernel (f32 byte-plane schoolbook + in-kernel MXU Toeplitz
+    REDC) vs host integer math, interpret mode."""
+    spec = get_curve(curve)
+    fq = fp_ops(spec.q)
+    rng = random.Random(97)
+    S, B = 6, 40
+    a_ints = [[rng.randrange(spec.q) for _ in range(B)] for _ in range(S)]
+    b_ints = [[rng.randrange(spec.q) for _ in range(B)] for _ in range(S)]
+    U = np.stack([fq.from_int(row) for row in a_ints], axis=1)
+    V = np.stack([fq.from_int(row) for row in b_ints], axis=1)
+
+    # sum(w) <= 2 everywhere for L=48 f32 exactness; the 2-weight row
+    # exercises weighted accumulation on the smaller curve
+    if fq.L <= 24:
+        weights = ((1, 1, 0, 0, 0, 0), (0, 0, 1, 1, 0, 0), (0, 0, 0, 0, 2, 1))
+    else:
+        weights = ((1, 1, 0, 0, 0, 0), (0, 0, 1, 1, 0, 0), (0, 0, 0, 0, 1, 1))
+    pm = pallas_mul_for(spec.q)
+    assert pm.v2_supported(weights)
+    out = pm.v2(U, V, weights, interpret=True)
+
+    for g, g_w in enumerate(weights):
+        got = fq.to_int(np.asarray(out[:, g]))
+        expect = [
+            sum(w * a_ints[s][k] * b_ints[s][k] for s, w in enumerate(g_w)) % spec.q
+            for k in range(B)
+        ]
+        assert got == expect
+
+
+def test_pallas_v2_bounds_gate():
+    """Weight sums beyond the f32 exactness bound must be rejected."""
+    from snark_setup_tpu.ops.pallas_field import v2_bounds
+
+    ok24, fused24 = v2_bounds(24, ((1, 1),))
+    assert ok24 and fused24
+    ok48, fused48 = v2_bounds(48, ((1, 1),))
+    assert ok48 and not fused48
+    assert not v2_bounds(48, ((3, 3),))[0]
+
+
+@pytest.mark.parametrize("curve", ["bls12_377", "bw6_761"])
+def test_pallas_v3_hybrid_matches_host(curve):
+    """v3 hybrid kernel (u32 schoolbook + in-kernel MXU Toeplitz REDC) vs
+    host integer math, interpret mode."""
+    spec = get_curve(curve)
+    fq = fp_ops(spec.q)
+    rng = random.Random(55)
+    S, B = 4, 33
+    a_ints = [[rng.randrange(spec.q) for _ in range(B)] for _ in range(S)]
+    b_ints = [[rng.randrange(spec.q) for _ in range(B)] for _ in range(S)]
+    U = np.stack([fq.from_int(row) for row in a_ints], axis=1)
+    V = np.stack([fq.from_int(row) for row in b_ints], axis=1)
+    weights = ((1, 1, 0, 0), (0, 0, 2, 1))
+    out = pallas_mul_for(spec.q).v3(U, V, weights, interpret=True)
+    for g, g_w in enumerate(weights):
+        got = fq.to_int(np.asarray(out[:, g]))
+        expect = [
+            sum(w * a_ints[s][k] * b_ints[s][k] for s, w in enumerate(g_w)) % spec.q
+            for k in range(B)
+        ]
+        assert got == expect
