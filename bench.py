@@ -43,10 +43,11 @@ def main():
     from snark_setup_tpu.fields.limb import ints_to_limbs_batch
     from snark_setup_tpu.ops.curve_jax import curve_ops
 
-    # On TPU backends the pallas stacked-Montgomery kernel auto-engages
-    # (ops/pallas_field.py) and throughput saturates ~16k batch
-    # (2026-08-19 sweep: 512:11974, 2048:23017, 8192:30393, 16384:32442,
-    # 32768:32493 exp/s). The jnp fallback path peaks at 512 (4114 exp/s).
+    # On TPU backends the fully-fused u32 pallas stacked-Montgomery kernel
+    # auto-engages (ops/pallas_field.py; 2026-08-21 A/B in BASELINE.md:
+    # 44.6k exp/s at batch 16k vs 31.4k split-MXU-redc, 19.6k f32-v2,
+    # 38.5k v3, TILE_B 256 > 1024 > 512). The jnp fallback peaks at 512
+    # (4114 exp/s).
     batch = int(os.environ.get("SNARK_BENCH_BATCH", "16384"))
     reps = int(os.environ.get("SNARK_BENCH_REPS", "3"))
 
