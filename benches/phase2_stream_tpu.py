@@ -38,12 +38,18 @@ def main():
     codec = batch_codec(spec.name, "g1")
     comp = UseCompression.NO
 
-    # synthesize the span: 64 distinct points tiled to n
+    # synthesize the span: 64 distinct points tiled to n. Serialize on the
+    # HOST (arkworks codec) so the device path under test is ONLY the
+    # streaming mul loop — a single-shot device write at 2^17 is not a
+    # production shape and must not confound the oracle.
+    from snark_setup_tpu.serialize.arkworks import g1_codec
+
+    hcodec = g1_codec(spec)
     base = [hc.mul(hc.generator, 3 + i) for i in range(64)]
-    pts = codec.ops.from_affine_host(base * (n // 64))
     t0 = time.time()
-    raw = codec.write_batch(pts, comp, n_valid=n)
-    print(f"serialize {n} pts: {time.time()-t0:.1f}s ({len(raw)} bytes)")
+    ser = [hcodec.serialize(p, comp) for p in base]
+    raw = b"".join(ser) * (n // 64)
+    print(f"serialize {n} pts (host): {time.time()-t0:.1f}s ({len(raw)} bytes)")
     buf = bytearray(raw)
     el = len(raw) // n
     span = chunked._VecSpan(offset=0, count=n, el_size=el)
@@ -67,18 +73,18 @@ def main():
         f"{dt/nb:.2f}s/batch ({nb} batches), {n/dt:.0f} pts/s"
     )
 
-    # oracle check on sampled points
+    # oracle check on sampled points, deserialized on the HOST
     idx = [0, 1, n // 2, n - 1, batch, batch - 1, 2 * batch, n - batch]
-    got = codec.read_batch(bytes(buf), comp, CheckForCorrectness.NO)
-    from snark_setup_tpu.ops.curve_jax import PointVec
-
-    sub = {k: np.asarray(v)[..., idx] for k, v in got.items()}
-    aff = codec.ops.to_affine_host(PointVec(sub))
-    ok = all(
-        aff[j] == hc.mul(base[i % 64], delta_inv) for j, i in enumerate(idx)
-    )
-    print("oracle:", "OK" if ok else "MISMATCH")
-    assert ok
+    bad = []
+    for i in idx:
+        got_pt = hcodec.deserialize(
+            bytes(buf[i * el : (i + 1) * el]), comp, CheckForCorrectness.NO
+        )
+        want = hc.mul(base[i % 64], delta_inv)
+        if got_pt != want:
+            bad.append(i)
+    print("oracle:", "OK" if not bad else f"MISMATCH at {bad}")
+    assert not bad
 
 
 if __name__ == "__main__":
