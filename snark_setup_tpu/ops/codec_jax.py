@@ -442,6 +442,14 @@ class BatchPointCodec:
             out = np.concatenate([xb, yb], axis=1)
         return out.tobytes()
 
+    # One device graph is never issued over more than this many lanes:
+    # a single-shot write at 2^17 lanes (131072-lane batch-inversion scan
+    # in one fused XLA graph) produced wrong bytes on v5e (2026-08-21,
+    # benches/phase2_stream_tpu.py) — same class as the redc_cols
+    # large-fused-graph miscompile. All protocol paths are batch_size-
+    # bounded already; this guard makes direct API users safe too.
+    MAX_DEVICE_BATCH = 1 << 14
+
     def write_batch(
         self,
         p: PointVec,
@@ -450,10 +458,25 @@ class BatchPointCodec:
         n_valid: int | None = None,
     ) -> bytes:
         """Device points -> wire bytes. Normalizes (batch-inverts Z) unless
-        the caller guarantees affine form. `n_valid` drops padding rows."""
-        return self.write_batch_finish(
-            self.write_batch_start(p, normalized), compression, n_valid
-        )
+        the caller guarantees affine form. `n_valid` drops padding rows.
+        Batches beyond MAX_DEVICE_BATCH are processed in bounded slices."""
+        B = int(p["x"].shape[-1])
+        M = self.MAX_DEVICE_BATCH
+        if B <= M:
+            return self.write_batch_finish(
+                self.write_batch_start(p, normalized), compression, n_valid
+            )
+        nv = B if n_valid is None else n_valid
+        out = []
+        for lo in range(0, nv, M):
+            hi = min(lo + M, nv)
+            sl = PointVec({k: v[..., lo:hi] for k, v in p.items()})
+            out.append(
+                self.write_batch_finish(
+                    self.write_batch_start(sl, normalized), compression, hi - lo
+                )
+            )
+        return b"".join(out)
 
 
 @functools.lru_cache(maxsize=None)

@@ -180,21 +180,30 @@ _bm_cache: dict = {}
 
 def batch_mul_device(ops: CurveOps, pts: list[AffinePoint], scalar: int) -> list[AffinePoint]:
     """All points times one scalar — the contribute hot loop
-    (batch_mul, setup-utils/src/helpers.rs:117-140)."""
+    (batch_mul, setup-utils/src/helpers.rs:117-140). Sliced to bounded
+    device batches: one XLA graph must never span an unbounded query
+    length (see BatchPointCodec.MAX_DEVICE_BATCH)."""
     if not pts:
         return []
+    from ..ops.codec_jax import BatchPointCodec
+
     key = id(ops)
     if key not in _bm_cache:
         import jax
 
         _bm_cache[key] = jax.jit(ops.scalar_mul)
-    dev = ops.from_affine_host(pts)
-    raw = np.ascontiguousarray(
-        np.broadcast_to(
-            ints_to_limbs_batch([scalar], ops.fr.L).T, (ops.fr.L, len(pts))
+    M = BatchPointCodec.MAX_DEVICE_BATCH
+    out: list[AffinePoint] = []
+    for lo in range(0, len(pts), M):
+        chunk = pts[lo : lo + M]
+        dev = ops.from_affine_host(chunk)
+        raw = np.ascontiguousarray(
+            np.broadcast_to(
+                ints_to_limbs_batch([scalar], ops.fr.L).T, (ops.fr.L, len(chunk))
+            )
         )
-    )
-    return ops.to_affine_host(_bm_cache[key](dev, raw))
+        out.extend(ops.to_affine_host(_bm_cache[key](dev, raw)))
+    return out
 
 
 def merge_pairs_device(
