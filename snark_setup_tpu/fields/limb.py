@@ -77,8 +77,13 @@ def ints_to_limbs_batch(vals, n_limbs: int) -> np.ndarray:
 
 
 def limbs_batch_to_ints(arr) -> list[int]:
+    """Inverse of ints_to_limbs_batch. PRECONDITION: canonical 16-bit
+    limbs — values >= 2^16 would be silently truncated by the <u2 cast,
+    so they fail loudly here instead (ADVICE r3)."""
     arr = np.asarray(arr)
     L = arr.shape[-1]
+    if arr.size and arr.dtype.itemsize > 2 and int(arr.max()) > 0xFFFF:
+        raise ValueError("limbs_batch_to_ints: non-canonical limb >= 2^16")
     flat = np.ascontiguousarray(arr.reshape(-1, L)).astype("<u2")
     b = flat.tobytes()
     nb = 2 * L

@@ -387,24 +387,89 @@ class BatchPointCodec:
         sign/infinity flags) and start ASYNC device->host copies of the four
         outputs. Returns an opaque handle for write_batch_finish. Lets a
         batch pipeline overlap the (tunneled) readback of batch i with the
-        compute of batches i+1.. (VERDICT r1 #8)."""
+        compute of batches i+1.. (VERDICT r1 #8).
+
+        Inputs wider than MAX_DEVICE_BATCH are sliced internally so no
+        single device graph exceeds the bound (the guard lives HERE, not
+        only in write_batch, because batch_size is caller-controlled and
+        the reference's own scripts use 2^17/2^21 batches)."""
         jit_fn = self._write_norm_jit if normalized else self._write_jit
-        parts = jit_fn(p)
-        for a in parts:
-            try:
-                a.copy_to_host_async()
-            except AttributeError:  # non-jax array (e.g. host fallback)
-                pass
-        return parts
+        B = int(p["x"].shape[-1])
+        M = self.MAX_DEVICE_BATCH
+        handles = []
+        for lo in range(0, B, M):
+            sl = (
+                p
+                if B <= M
+                else PointVec({k: v[..., lo : lo + M] for k, v in p.items()})
+            )
+            parts = jit_fn(sl)
+            for a in parts:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:  # non-jax array (e.g. host fallback)
+                    pass
+            handles.append(parts)
+        return handles
 
     def write_batch_finish(
+        self,
+        handles,
+        compression: UseCompression,
+        n_valid: int | None = None,
+    ) -> bytes:
+        """Host half of write_batch: block on the async copies and pack
+        wire bytes. `handles` is the (possibly multi-slice) handle from
+        write_batch_start; `n_valid` counts valid rows across the WHOLE
+        batch, not per slice."""
+        out = []
+        off = 0
+        for parts in handles:
+            sz = int(np.asarray(parts[2]).shape[0])
+            nv = sz if n_valid is None else max(0, min(sz, n_valid - off))
+            off += sz
+            if nv == 0:
+                continue
+            out.append(self._finish_one(parts, compression, nv))
+        joined = b"".join(out)
+        if not self._write_selfchecked and joined:
+            self._selfcheck_write(joined, compression)
+        return joined
+
+    # One-time (per codec instance) host cross-check of written bytes:
+    # the wide-graph miscompile class (see MAX_DEVICE_BATCH) corrupts
+    # silently, and for a ceremony tool corrupt output is the worst
+    # failure mode. Parsing a few points of the first written batch with
+    # the independent HOST codec (on-curve check included) turns that
+    # into a loud error at negligible cost.
+    _write_selfchecked = False
+
+    def _selfcheck_write(self, out: bytes, compression: UseCompression) -> None:
+        from ..serialize.arkworks import g1_codec, g2_codec
+
+        hostc = (
+            g1_codec(self.spec)
+            if self.ops.group_name == "g1"
+            else g2_codec(self.spec)
+        )
+        size = self.size(compression)
+        n = min(4, len(out) // size)
+        for i in range(n):
+            # raises SerializationError/IncorrectSubgroupError on corrupt
+            # bytes (on-curve + subgroup; infinity flags accepted)
+            hostc.deserialize(
+                out[i * size : (i + 1) * size],
+                compression,
+                CheckForCorrectness.ONLY_IN_GROUP,
+            )
+        self._write_selfchecked = True
+
+    def _finish_one(
         self,
         parts,
         compression: UseCompression,
         n_valid: int | None = None,
     ) -> bytes:
-        """Host half of write_batch: block on the async copies and pack
-        wire bytes."""
         x_std, y_std, inf, neg = parts
         neg = np.asarray(neg)
         inf_np = np.asarray(inf)
@@ -442,13 +507,18 @@ class BatchPointCodec:
             out = np.concatenate([xb, yb], axis=1)
         return out.tobytes()
 
-    # One device graph is never issued over more than this many lanes:
-    # a single-shot write at 2^17 lanes (131072-lane batch-inversion scan
-    # in one fused XLA graph) produced wrong bytes on v5e (2026-08-21,
-    # benches/phase2_stream_tpu.py) — same class as the redc_cols
-    # large-fused-graph miscompile. All protocol paths are batch_size-
-    # bounded already; this guard makes direct API users safe too.
-    MAX_DEVICE_BATCH = 1 << 14
+    # One device graph is never issued over more than this many lanes.
+    # Measured on v5e (2026-08-21, round 4): graphs containing a batch
+    # inversion or a long multiplication chain return WRONG LIMBS for
+    # every lane once the batch axis exceeds ~12288 lanes — batch_inv
+    # breaks at 13312, Fermat inv at 14336, an unrolled 64-deep mont_mul
+    # chain at 13312, while all of them are correct at 12288 and
+    # fori_loop-rolled chains stay correct to 65536+. (Same failure
+    # class as the redc_cols fused-graph miscompile and the r3 2^17
+    # single-shot write.) 2^13 keeps a safety margin below the measured
+    # boundary; write_batch_start slices internally so batch_size-
+    # configured callers (reference scripts use 2^17/2^21) stay safe.
+    MAX_DEVICE_BATCH = 1 << 13
 
     def write_batch(
         self,
@@ -459,24 +529,11 @@ class BatchPointCodec:
     ) -> bytes:
         """Device points -> wire bytes. Normalizes (batch-inverts Z) unless
         the caller guarantees affine form. `n_valid` drops padding rows.
-        Batches beyond MAX_DEVICE_BATCH are processed in bounded slices."""
-        B = int(p["x"].shape[-1])
-        M = self.MAX_DEVICE_BATCH
-        if B <= M:
-            return self.write_batch_finish(
-                self.write_batch_start(p, normalized), compression, n_valid
-            )
-        nv = B if n_valid is None else n_valid
-        out = []
-        for lo in range(0, nv, M):
-            hi = min(lo + M, nv)
-            sl = PointVec({k: v[..., lo:hi] for k, v in p.items()})
-            out.append(
-                self.write_batch_finish(
-                    self.write_batch_start(sl, normalized), compression, hi - lo
-                )
-            )
-        return b"".join(out)
+        Batches beyond MAX_DEVICE_BATCH are processed in bounded slices
+        (enforced inside write_batch_start)."""
+        return self.write_batch_finish(
+            self.write_batch_start(p, normalized), compression, n_valid
+        )
 
 
 @functools.lru_cache(maxsize=None)

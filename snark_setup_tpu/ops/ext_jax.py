@@ -273,11 +273,19 @@ class _ExtCommon:
                         for t_idx, tw in t_of_c[c]:
                             row[s * T + t_idx] = w * tw
                     comp.append(tuple(row))
-            from .pallas_field import kernel_v2_enabled, mxu_stacked_forced
+            from .pallas_field import (
+                kernel_v2_enabled,
+                kernel_v3_enabled,
+                mxu_stacked_forced,
+            )
 
             pm = pallas_mul_for(self.fp.modulus)
             if kernel_v2_enabled() and pm.v2_supported(tuple(comp)):
                 out = pm.v2(Ub, Vb, tuple(comp))
+            elif kernel_v3_enabled():
+                # same dispatch order as BaseFieldOps.mul_stacked so
+                # SNARK_SETUP_KERNEL_V3 covers both sites (ADVICE r3)
+                out = pm.v3(Ub, Vb, tuple(comp))
             elif mxu_stacked_forced():
                 cols = pm.cols(Ub, Vb, tuple(comp))  # (2L, G*d, B)
                 out = self.fp.redc_cols_matmul(cols, nprod)

@@ -4,9 +4,52 @@ Enables the persistent compilation cache (big win for the CPU test mesh and
 for repeated TPU CLI invocations: the ceremony repeatedly compiles the same
 batch-shaped kernels across process boundaries)."""
 
+import contextlib
 import os
 
 _CONFIGURED = False
+
+
+@contextlib.contextmanager
+def no_persistent_cache():
+    """Disable the persistent compilation cache for compiles inside this
+    block (used around jits whose XLA:CPU executables segfault the cache
+    serializer — jax 0.9, compilation_cache.py:265 on write / :238 on a
+    later read of the poisoned entry).
+
+    Flipping jax_enable_compilation_cache alone is INERT after the first
+    compile of the process: compilation_cache.is_cache_used memoizes its
+    verdict once (_cache_checked). reset_cache() clears that memo so the
+    disabled flag is actually consulted. Belt and suspenders, we ALSO
+    raise persistent_cache_min_compile_time_secs to infinity — compiler.
+    _cache_write consults that config LIVE immediately before
+    put_executable_and_time, so writes are blocked even on paths where
+    the memoized cache verdict survives. On-disk entries are unaffected."""
+    import jax
+
+    try:
+        from jax._src import compilation_cache as _cc
+    except Exception:  # pragma: no cover - private API moved
+        _cc = None
+
+    def _reset():
+        if _cc is not None:
+            try:
+                _cc.reset_cache()
+            except Exception:  # pragma: no cover
+                pass
+
+    prev = jax.config.jax_enable_compilation_cache
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e18)
+    _reset()
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        _reset()
 
 
 def configure_jax() -> None:

@@ -71,17 +71,15 @@ def msm_secret(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray) -> PointVe
     first (compiling) call per (ops, shape) signature."""
     import jax
 
+    from .jax_setup import no_persistent_cache
+
     key = (id(ops), pts["x"].shape, scalars_raw.shape)
     if key in _secret_cache:
         return PointVec(_secret_cache[key](pts, scalars_raw))
 
     f = jax.jit(lambda p, s: dict(ops.sum_reduce(ops.scalar_mul(p, s))))
-    prev = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
+    with no_persistent_cache():
         out = f(pts, scalars_raw)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", prev)
     _secret_cache[key] = f
     return PointVec(out)
 
@@ -96,12 +94,24 @@ def msm_public(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray, nbits: int
         return pip(pts, scalars_raw)
     import jax
 
-    key = (id(ops), nbits)
+    # Key includes the INPUT SHAPES: jit recompiles per shape, and every
+    # compile of this ladder must run under no_persistent_cache —
+    # serializing the compiled executable segfaults XLA:CPU (jax 0.9,
+    # compilation_cache.py:265 on write / :238 on a later read of the
+    # poisoned entry). A shape-free key left repeat calls recompiling on
+    # the unguarded path (crash reproduced at exactly that line).
+    key = (id(ops), nbits, pts["x"].shape, scalars_raw.shape)
     if key not in _ladder_cache:
 
         def f(p, s):
             prods = ops.scalar_mul_windowed(p, s, nbits=nbits)
             return dict(ops.sum_reduce(prods))
 
-        _ladder_cache[key] = jax.jit(f)
+        fn = jax.jit(f)
+        from .jax_setup import no_persistent_cache
+
+        with no_persistent_cache():
+            out = fn(pts, scalars_raw)
+        _ladder_cache[key] = fn
+        return PointVec(out)
     return PointVec(_ladder_cache[key](pts, scalars_raw))
