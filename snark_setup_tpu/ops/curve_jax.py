@@ -87,6 +87,17 @@ class CurveOps:
             a2 = host_ext_pow(tuple(a_host), 2, spec.q, degree, nr)
             neg_a2 = tuple((spec.q - c) % spec.q for c in a2)
             self.neg_a2_dev = self.field.from_coeffs([neg_a2])
+        # |3b| as a small integer where the curve allows it (G1 of the
+        # BLS/BW6 curves has b in {1, -1, 4}): lets doubling fold the
+        # 3b*Z^2 product into round 0 as a column weight, dropping one
+        # multiplication round entirely. (|w|, negate) or None.
+        self._b3_small = None
+        if self.a_is_zero and degree == 1:
+            b3i = 3 * b_host[0] % spec.q
+            if b3i <= 1 << 10:
+                self._b3_small = (b3i, False)
+            elif spec.q - b3i <= 1 << 10:
+                self._b3_small = (spec.q - b3i, True)
         # scalar field
         self.fr = fp_ops(spec.r)
         self.scalar_bits = spec.r.bit_length()
@@ -156,9 +167,25 @@ class CurveOps:
         y = np.where(inf_mask, one, y)
         return PointVec(x=x, y=y, z=z)
 
+    # Widest batch any single normalize/readback graph may span: the
+    # batch-inversion graph returns wrong limbs for EVERY lane above
+    # ~12288 lanes on v5e (measured round 4 — see
+    # codec_jax.BatchPointCodec.MAX_DEVICE_BATCH for the full boundary
+    # data). Wider inputs are sliced host-side.
+    MAX_NORMALIZE_LANES = 1 << 13
+
     def to_affine_host(self, p: PointVec) -> list[AffinePoint]:
         """Device batch -> host affine points (batch-inverts Z); the whole
-        device part (normalize + Montgomery conversion) is one jitted call."""
+        device part (normalize + Montgomery conversion) is one jitted call
+        per <= MAX_NORMALIZE_LANES slice."""
+        B = int(p["x"].shape[-1])
+        M = self.MAX_NORMALIZE_LANES
+        if B > M:
+            out = []
+            for lo in range(0, B, M):
+                sl = PointVec({k: v[..., lo : lo + M] for k, v in p.items()})
+                out.extend(self.to_affine_host(sl))
+            return out
         if not hasattr(self, "_toaff_jit"):
 
             def f(pt):
@@ -199,10 +226,27 @@ class CurveOps:
         return [tuple(ints[i * deg : (i + 1) * deg]) for i in range(len(ints) // deg)]
 
     # -- group law ---------------------------------------------------------
+    def _group_fused(self):
+        """The fused single-launch group-op kernels (pallas_group.py) when
+        enabled and applicable (degree-1 coords, a=0, pallas backend) —
+        they keep ALL field glue in VMEM instead of streaming (L, B) planes
+        through HBM between stacked-mul launches."""
+        if not (self.a_is_zero and self.field.degree == 1):
+            return None
+        from .pallas_field import pallas_enabled
+        from .pallas_group import group_fused_enabled, group_ops_for
+
+        if not (pallas_enabled() and group_fused_enabled()):
+            return None
+        return group_ops_for(self.spec.name, self.group_name)
+
     def add(self, p: PointVec, q: PointVec) -> PointVec:
         """RCB complete addition in three stacked multiplication rounds.
         Every round is one F.mul_stacked call (stacked products + weighted
         column merge + single REDC) — on TPU a fused pallas kernel."""
+        g = self._group_fused()
+        if g is not None:
+            return g.add(p, q)
         F = self.field
         X1, Y1, Z1 = p["x"], p["y"], p["z"]
         X2, Y2, Z2 = q["x"], q["y"], q["z"]
@@ -264,27 +308,51 @@ class CurveOps:
         scalar multiplication. a != 0 falls back to add(p, p)."""
         if not self.a_is_zero:
             return self.add(p, p)
+        g = self._group_fused()
+        if g is not None:
+            return g.double(p)
         F = self.field
         X, Y, Z = p["x"], p["y"], p["z"]
-        b3 = F.bc(self.b3_dev, X)
 
-        # round 0: t0=Y^2, t1=YZ, m3=XY, t2=Z^2
-        U = F.stack([Y, Y, X, Z])
-        V = F.stack([Y, Z, Y, Z])
-        W = F.mul_stacked(U, V, _ID4, F.prod_nprod)
-        t0, t1, m3, t2 = (F.unstack(W, i) for i in range(4))
-        z3a = F.mul_small(t0, 8)
+        if self._b3_small is not None:
+            # fold c = 3b*Z^2 into round 0 — as a column WEIGHT on the Z*Z
+            # stack when w*N < R (the REDC bound), else by pre-scaling one
+            # operand. Either way the dedicated 3b round below disappears:
+            # 8 products/REDCs and 2 launches per doubling instead of 9/3.
+            w, negate = self._b3_small
+            if w * self.spec.q < self.fq.spec.mont_r_pow:
+                U = F.stack([Y, Y, X, Z])
+                V = F.stack([Y, Z, Y, Z])
+                wts = ((1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0), (0, 0, 0, w))
+                W = F.mul_stacked(U, V, wts, w * F.prod_nprod)
+            else:
+                wZ = F.mul_small(Z, w)
+                U = F.stack([Y, Y, X, Z])
+                V = F.stack([Y, Z, Y, wZ])
+                W = F.mul_stacked(U, V, _ID4, F.prod_nprod)
+            t0, t1, m3, c = (F.unstack(W, i) for i in range(4))
+            if negate:
+                c = F.neg(c)
+            z3a = F.mul_small(t0, 8)
+        else:
+            b3 = F.bc(self.b3_dev, X)
+            # round 0: t0=Y^2, t1=YZ, m3=XY, t2=Z^2
+            U = F.stack([Y, Y, X, Z])
+            V = F.stack([Y, Z, Y, Z])
+            W = F.mul_stacked(U, V, _ID4, F.prod_nprod)
+            t0, t1, m3, t2 = (F.unstack(W, i) for i in range(4))
+            z3a = F.mul_small(t0, 8)
 
-        # round 1: c = 3b * Z^2
-        c = F.unstack(
-            F.mul_stacked(
-                F.stack([jnp.broadcast_to(b3, t2.shape)]),
-                F.stack([t2]),
-                ((1,),),
-                F.prod_nprod,
-            ),
-            0,
-        )
+            # round 1: c = 3b * Z^2
+            c = F.unstack(
+                F.mul_stacked(
+                    F.stack([jnp.broadcast_to(b3, t2.shape)]),
+                    F.stack([t2]),
+                    ((1,),),
+                    F.prod_nprod,
+                ),
+                0,
+            )
 
         t0p = F.sub(t0, F.mul_small(c, 3))
         y3sum = F.add(t0, c)

@@ -70,10 +70,11 @@ def _fsub(a, b, N_b):
 
 
 def _fneg(a, N_b):
-    """N - a, with 0 -> 0. All intermediates stay 2-D (Mosaic-safe)."""
-    nz = a[0:1]
-    for i in range(1, a.shape[0]):
-        nz = nz | a[i : i + 1]
+    """N - a, with 0 -> 0. All intermediates stay 2-D (Mosaic-safe).
+    The zero test is one sublane max-reduction instead of an L-deep
+    serial OR chain (limbs are < 2^16, so max==0 iff all zero)."""
+    nz = jnp.max(a.astype(jnp.int32), axis=0, keepdims=True)  # Mosaic
+    # cannot reduce unsigned ints; limbs < 2^16 are exact in i32
     d, _ = _sub_with_borrow_kernel(N_b, a)  # exact: a < N
     return jnp.where(nz == 0, a, d)
 
@@ -169,15 +170,48 @@ def _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB):
     return x, y, z
 
 
-def _kdbl(p, N_b, Np_b, b3_b, NS, NpS, TB):
+def _small_mul(a, w: int, N_b, raw_ok: bool):
+    """w*a for a small host int w. When `raw_ok` (w*N < R, so the REDC of
+    the consuming product absorbs the unreduced value) this is one u32
+    lane-multiply + carry resolve; otherwise a modular _fadd chain."""
+    if w == 1:
+        return a
+    if raw_ok:
+        return _resolve_carries_kernel(a * np.uint32(w))
+    result = None
+    addend = a
+    k = w
+    while k:
+        if k & 1:
+            result = addend if result is None else _fadd(result, addend, N_b)
+        k >>= 1
+        if k:
+            addend = _fadd(addend, addend, N_b)
+    return result
+
+
+def _kdbl(p, N_b, Np_b, b3_b, NS, NpS, TB, b3s=None):
     """Dedicated RCB a=0 doubling (Alg. 9): 9 products/reductions, stacked
-    4 + 1 + 4 lanes wide."""
+    4 + 1 + 4 lanes wide. With `b3s` = (|3b|, negate, raw_ok) (the small-b3
+    curves: G1 of BLS12-377/381, both BW6 groups), c = 3b*Z^2 folds into
+    round 0 as (Z, |3b|*Z) — 8 products/reductions in 2 rounds."""
     X, Y, Z = p
-    t0, t1, m3, t2 = _stack_mul([(Y, Y), (Y, Z), (X, Y), (Z, Z)], NS, NpS, TB)
+    if b3s is not None:
+        w, negate, raw_ok = b3s
+        wZ = _small_mul(Z, w, N_b, raw_ok)
+        t0, t1, m3, c = _stack_mul(
+            [(Y, Y), (Y, Z), (X, Y), (Z, wZ)], NS, NpS, TB
+        )
+        if negate:
+            c = _fneg(c, N_b)
+    else:
+        t0, t1, m3, t2 = _stack_mul(
+            [(Y, Y), (Y, Z), (X, Y), (Z, Z)], NS, NpS, TB
+        )
+        c = _fmul(b3_b, t2, N_b, Np_b)
     z3a = _fadd(t0, t0, N_b)
     z3a = _fadd(z3a, z3a, N_b)
     z3a = _fadd(z3a, z3a, N_b)  # 8 Y^2
-    c = _fmul(b3_b, t2, N_b, Np_b)
     c3 = _fadd(_fadd(c, c, N_b), c, N_b)
     t0p = _fsub(t0, c3, N_b)
     y3sum = _fadd(t0, c, N_b)
@@ -187,7 +221,7 @@ def _kdbl(p, N_b, Np_b, b3_b, NS, NpS, TB):
     return _fadd(x3b, x3b, N_b), _fadd(x3, y3a, N_b), z3
 
 
-def _make_ladder_kernel(L: int, nwin: int):
+def _make_ladder_kernel(L: int, nwin: int, b3s=None):
     from jax.experimental import pallas as pl
 
     def kernel(
@@ -215,7 +249,7 @@ def _make_ladder_kernel(L: int, nwin: int):
             return _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB)
 
         def kdbl(p):
-            return _kdbl(p, N_b, Np_b, b3_b, NS, NpS, TB)
+            return _kdbl(p, N_b, Np_b, b3_b, NS, NpS, TB, b3s)
 
         # base = (-1)^neg1 * P
         bx = x_ref[:]
@@ -269,6 +303,14 @@ def _make_ladder_kernel(L: int, nwin: int):
     return kernel
 
 
+def _b3s_for(ops):
+    """(|3b|, negate, raw_ok) for small-b3 curves, else None (see _kdbl)."""
+    if getattr(ops, "_b3_small", None) is None:
+        return None
+    w, negate = ops._b3_small
+    return (w, negate, w * ops.spec.q < ops.fq.spec.mont_r_pow)
+
+
 class FusedGLVLadder:
     """Compiled fused ladder for one (CurveOps, tile) signature."""
 
@@ -284,6 +326,7 @@ class FusedGLVLadder:
         self.b3_col = np.asarray(ops.b3_dev, np.uint32).reshape(self.L, 1)
         self.one_col = np.asarray(fq.one_mont_np, np.uint32)
         self.beta_col = np.asarray(ops._glv_beta, np.uint32).reshape(self.L, 1)
+        self.b3s = _b3s_for(ops)
         self._cache = {}
 
     def _call_for(self, nwin: int, Bp: int, TB: int, interpret: bool):
@@ -293,7 +336,7 @@ class FusedGLVLadder:
         L = self.L
         key = (nwin, Bp, TB, interpret)
         if key not in self._cache:
-            kernel = _make_ladder_kernel(L, nwin)
+            kernel = _make_ladder_kernel(L, nwin, self.b3s)
             coord = pl.BlockSpec((L, TB), lambda i: (0, i))
             digit = pl.BlockSpec((nwin, TB), lambda i: (0, i))
             mask = pl.BlockSpec((1, TB), lambda i: (0, i))
