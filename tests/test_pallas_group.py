@@ -42,3 +42,24 @@ def test_fused_add_matches_stacked():
     want = _affine(ops, ops.add(P, Q))
     got = _affine(ops, g.add(P, Q, interpret=True))
     assert want == got
+
+
+def test_fused_double_b3s_variants():
+    """The small-3b doubling has three in-kernel shapes: weight fold with
+    raw_ok (BLS12-377, w=3), modular _fadd-chain prescale (BLS12-381, w=12
+    with 12N >= R), and negate (BW6-761, 3b = -3). Each must match the
+    stacked path (which has its own host-oracle tests)."""
+    from snark_setup_tpu.ops.pallas_ladder import _b3s_for
+
+    for curve, group in (("bls12_381", "g1"), ("bw6_761", "g1"), ("bw6_761", "g2")):
+        ops = curve_ops(curve, group)
+        b3s = _b3s_for(ops)  # may be None (generic in-kernel 3b mul)
+        hc = ops.host_curve
+        rng = np.random.default_rng(11)
+        pts = [hc.mul(hc.generator, int(k)) for k in rng.integers(1, 1 << 30, 2)]
+        pts.append(INFINITY)
+        P = ops.from_affine_host(pts)
+        g = group_ops_for(curve, group)
+        want = _affine(ops, ops.double(P))
+        got = _affine(ops, g.double(P, interpret=True))
+        assert want == got, (curve, group, b3s)
