@@ -11,11 +11,10 @@
 # stalls that look like hangs).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-# XLA:CPU overflows the default 8 MB stack compiling/serializing the deep
-# ladder graphs (segfaults in compile and compilation-cache read/write);
-# a big stack cures it and lets the persistent cache write CPU entries.
+# XLA:CPU overflows the default 8 MB stack COMPILING the deep ladder
+# graphs; cache writes stay disabled on CPU (jax_setup default) because
+# the executable serializer crashes on them even with the big stack.
 ulimit -s 262144 || true
-export SNARK_SETUP_CPU_CACHE_WRITES=1
 exec python -m pytest \
   tests/test_parameters.py \
   tests/test_golden.py \

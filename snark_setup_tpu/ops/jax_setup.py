@@ -85,19 +85,18 @@ def configure_jax() -> None:
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-            # XLA:CPU segfaults on the DEEP ladder executables when the
-            # thread stack is the default 8 MB: the recursive HLO walks in
-            # compile, executable serialize (cache write) and deserialize
-            # (cache read) all overflow — reproduced as crashes in
-            # compilation_cache.py:238/:265 and backend_compile_and_load,
-            # and CURED by `ulimit -s 262144` (the previously
-            # always-crashing phase-2 chunked e2e passes). Since the main
-            # thread's stack cannot be grown after process start, CPU
-            # backends skip cache WRITES by default (the serialize walk is
-            # the deepest); reads of existing entries still work and TPU
-            # backends keep full caching. Runners that raise the stack
-            # first (scripts/test_*.sh) re-enable writes with
-            # SNARK_SETUP_CPU_CACHE_WRITES=1.
+            # XLA:CPU segfaults on the DEEP ladder executables, two ways
+            # (jax 0.9, measured round 4):
+            # 1. COMPILE (backend_compile_and_load) overflows the default
+            #    8 MB stack — cured by `ulimit -s 262144` in the runner
+            #    scripts (the main-thread stack cannot grow after start).
+            # 2. Executable SERIALIZE (cache write, compilation_cache.py
+            #    :265) crashes even WITH the big stack — not stack-bound.
+            # CPU backends therefore never write cache entries (reads of
+            # existing entries still work); TPU backends, whose
+            # serializer is fine (300 MB of entries across rounds), keep
+            # full caching. SNARK_SETUP_CPU_CACHE_WRITES=1 re-enables at
+            # your own risk (A/B experiments).
             if jax.default_backend() == "cpu" and os.environ.get(
                 "SNARK_SETUP_CPU_CACHE_WRITES", "0"
             ) not in ("1", "on", "true"):
