@@ -14,6 +14,7 @@ and the reference's dead hand-rolled Pippenger (helpers.rs:447-548).
 
 from __future__ import annotations
 
+import os
 import secrets
 
 import numpy as np
@@ -84,6 +85,39 @@ def msm_secret(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray) -> PointVe
     return PointVec(out)
 
 
+def host_fallback_enabled() -> bool:
+    """On CPU backends the small-batch device paths go through exact HOST
+    math instead: XLA:CPU's compiler segfaults nondeterministically on the
+    deep windowed-ladder executables (backend_compile_and_load, process-
+    state dependent — survives ulimit -s 262144), and even when it
+    succeeds the compile costs minutes for work the host does in
+    milliseconds at these sizes. SNARK_SETUP_FORCE_DEVICE_MSM=1 restores
+    the device path for kernel A/Bs. TPU backends are unaffected."""
+    import jax
+
+    if os.environ.get("SNARK_SETUP_FORCE_DEVICE_MSM", "0") in ("1", "on", "true"):
+        return False
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _host_msm(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray) -> PointVec:
+    """Exact host-bigint MSM (verifier-side small batches on CPU)."""
+    from ..curves.host import INFINITY
+    from ..fields.limb import limbs_batch_to_ints
+
+    aff = ops.to_affine_host(pts)
+    ks = limbs_batch_to_ints(np.asarray(scalars_raw).T)
+    hc = ops.host_curve
+    acc = INFINITY
+    for p, k in zip(aff, ks):
+        if k and not p.is_infinity:
+            acc = hc.add(acc, hc.mul(p, k))
+    return ops.from_affine_host([acc])
+
+
 def msm_public(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray, nbits: int) -> PointVec:
     """MSM over public scalars; returns a 1-point device PointVec."""
     B = int(pts["x"].shape[-1])
@@ -92,6 +126,8 @@ def msm_public(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray, nbits: int
 
         pip = pippenger_for(ops.spec.name, ops.group_name, B, nbits)
         return pip(pts, scalars_raw)
+    if host_fallback_enabled():
+        return _host_msm(ops, pts, scalars_raw)
     import jax
 
     # Key includes the INPUT SHAPES: jit recompiles per shape, and every

@@ -113,7 +113,7 @@ class PallasGroupOps:
             x3, y3, z3 = _kadd(
                 (x1_ref[:], y1_ref[:], z1_ref[:]),
                 (x2_ref[:], y2_ref[:], z2_ref[:]),
-                N_b, Np_b, b3_b, NS, NpS, TB,
+                N_b, Np_b, b3_b, NS, NpS, TB, self.b3s,
             )
             ox_ref[:] = x3
             oy_ref[:] = y3

@@ -141,9 +141,11 @@ def _stack_sub(pairs, NS, TB):
 # formulas are the same RCB Alg. 7/9 systems as curve_jax.CurveOps.
 
 
-def _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB):
+def _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB, b3s=None):
     """RCB complete add, a=0 (Alg. 7): 14 products, 9 reductions, stacked
-    6 + 2 + 3 lanes wide."""
+    6 + 2 + 3 lanes wide. With small |3b| (`b3s`), the 3b*t2 / 3b*t4 round
+    collapses into modular _fadd chains (2 adds each at w=3) — 12
+    products / 8 reductions and one round fewer."""
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     sXY1, sXZ1, sYZ1, sXY2, sXZ2, sYZ2 = _stack_add(
@@ -155,7 +157,27 @@ def _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB):
     )
     a01, a02, a12 = _stack_add([(t0, t1), (t0, t2), (t1, t2)], NS, TB)
     t3, t4, t5 = _stack_sub([(s3, a01), (s4, a02), (s5, a12)], NS, TB)
-    Z3_, t4b = _stack_mul([(b3_b, t2), (b3_b, t4)], NS, NpS, TB)
+    if b3s is not None:
+        w, negate, _raw_ok = b3s
+        # modular small-mult chains (stacked 2 wide); raw accumulation is
+        # NOT used here because these values feed subs and round-2
+        # products whose bounds assume canonical (< N) operands
+        pair = jnp.concatenate([t2, t4], axis=-1)
+        acc = None
+        addend = pair
+        k = w
+        N2 = NS[:, : 2 * TB]
+        while k:
+            if k & 1:
+                acc = addend if acc is None else _fadd(acc, addend, N2)
+            k >>= 1
+            if k:
+                addend = _fadd(addend, addend, N2)
+        if negate:
+            acc = _fneg(acc, N2)
+        Z3_, t4b = _split(acc, 2, TB)
+    else:
+        Z3_, t4b = _stack_mul([(b3_b, t2), (b3_b, t4)], NS, NpS, TB)
     t1n = _fadd(_fadd(t0, t0, N_b), t0, N_b)  # 3 X1X2
     X3_ = _fsub(t1, Z3_, N_b)
     Z3p = _fadd(t1, Z3_, N_b)
@@ -246,7 +268,7 @@ def _make_ladder_kernel(L: int, nwin: int, b3s=None):
         flip = flip_ref[:]
 
         def kadd(p, q):
-            return _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB)
+            return _kadd(p, q, N_b, Np_b, b3_b, NS, NpS, TB, b3s)
 
         def kdbl(p):
             return _kdbl(p, N_b, Np_b, b3_b, NS, NpS, TB, b3s)

@@ -186,6 +186,15 @@ def batch_mul_device(ops: CurveOps, pts: list[AffinePoint], scalar: int) -> list
     if not pts:
         return []
     from ..ops.codec_jax import BatchPointCodec
+    from ..ops.msm import host_fallback_enabled
+
+    if host_fallback_enabled():
+        # CPU backends: exact host math — XLA:CPU's compiler segfaults
+        # nondeterministically on the GLV-ladder executable this would
+        # build (see msm.host_fallback_enabled), and the host loop is
+        # faster than that compile at test sizes anyway.
+        hc = ops.host_curve
+        return [p if p.is_infinity else hc.mul(p, scalar) for p in pts]
 
     key = id(ops)
     if key not in _bm_cache:

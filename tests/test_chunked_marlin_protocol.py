@@ -194,3 +194,51 @@ def test_aggregation_roundtrip_and_wrong_chunk_rejection():
             bad_output, UseCompression.NO, CheckForCorrectness.NO, full_mode_params,
             rlc_rng=random.Random(4),
         )
+
+
+# ---------------------------------------------------------------------------
+# Geometry probe: chunk_size == powers_length == batch_size (the production
+# scale-run shape, e.g. power 16 / chunk 2^16 / batch 2^16). A tampered
+# element in a non-tau section of chunk 0 MUST be rejected — guards against
+# any section-skipping bug at this exact boundary geometry.
+# ---------------------------------------------------------------------------
+
+
+def test_chunk0_tamper_rejected_at_chunk_eq_powers_geometry():
+    from snark_setup_tpu.phase1.buffers import split
+
+    power = 4
+    chunk = 1 << power  # == powers_length
+    batch = chunk
+    params = Phase1Parameters.new_chunk(
+        CURVE, ContributionMode.CHUNKED, 0, chunk, ProvingSystem.GROTH16, power, batch
+    )
+    inp = generate_input(params, UseCompression.NO)
+    out = generate_output(params, UseCompression.YES)
+    rng = derive_rng_from_seed(b"geometry probe")
+    digest = blank_hash()
+    pubkey, privkey = Phase1.key_generation(params.spec, rng, digest)
+    Phase1.computation(
+        inp, out, UseCompression.NO, UseCompression.YES,
+        CheckForCorrectness.NO, BatchExpMode.AUTO, privkey, params,
+    )
+
+    def verify(buf):
+        Phase1.verification(
+            inp, buf, generate_output(params, UseCompression.NO), pubkey, digest,
+            UseCompression.NO, UseCompression.YES, UseCompression.NO,
+            CheckForCorrectness.NO, CheckForCorrectness.FULL,
+            SubgroupCheckMode.AUTO, True, params, rlc_rng=random.Random(7),
+        )
+
+    verify(out)  # untampered passes
+
+    sections = split(params, UseCompression.YES)
+    for sec_name in ("alpha_g1", "beta_g1", "tau_g2", "tau_g1"):
+        bad = bytearray(out)
+        sec = sections[sec_name]
+        # flip a low bit mid-element of the section's 5th element
+        view = sec.slice_of(bad, 4, 5)
+        view[3] ^= 1
+        with pytest.raises(Exception):
+            verify(bad)

@@ -63,3 +63,9 @@ def test_fused_double_b3s_variants():
         want = _affine(ops, ops.double(P))
         got = _affine(ops, g.double(P, interpret=True))
         assert want == got, (curve, group, b3s)
+        # fused add exercises the small-3b _fadd-chain round (or the
+        # generic product round when b3s is None)
+        Q = ops.from_affine_host(list(reversed(pts)))
+        want_a = _affine(ops, ops.add(P, Q))
+        got_a = _affine(ops, g.add(P, Q, interpret=True))
+        assert want_a == got_a, (curve, group, b3s)
