@@ -1,17 +1,33 @@
 #!/usr/bin/env bash
 # Full default test tier with the environment the suite needs on this image:
-# - 256 MB stack: XLA:CPU's COMPILE of the deep ladder graphs overflows the
-#   default 8 MB stack (segfault in backend_compile_and_load).
+# - One pytest PROCESS PER TEST FILE: XLA:CPU corrupts its heap on some of
+#   the deep ladder compiles and a LATER unrelated compile then segfaults
+#   (observed: a trivial select op crashing in backend_compile_and_load
+#   after earlier big compiles; every affected file passes in isolation).
+#   Per-file processes contain the corruption.
+# - 256 MB stack: the deep-graph compiles also overflow the default 8 MB.
 # - CPU cache writes stay DISABLED (jax_setup default): the executable
-#   SERIALIZER crashes on these graphs even with the big stack
-#   (compilation_cache.py:265) — measured, not stack-curable.
+#   serializer crashes on these graphs even with the big stack.
 # - CPU backend forced via shell env (sitecustomize registers the TPU
 #   tunnel before any in-script env can take effect).
-# Run ONE python at a time on this box — concurrent interpreters contend
+# Run ONE instance at a time on this box — concurrent interpreters contend
 # for the TPU tunnel and stall each other.
-set -euo pipefail
+#
+# Usage: scripts/test_all.sh [extra pytest args...]
+set -uo pipefail
 cd "$(dirname "$0")/.."
 ulimit -s 262144 || true
 export JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
 export SNARK_SETUP_JAX_CACHE="${SNARK_SETUP_JAX_CACHE:-$PWD/.jax_cache}"
-exec python -m pytest tests/ -q "$@"
+
+fail=0
+for f in tests/test_*.py; do
+  echo "=== $f ==="
+  python -m pytest "$f" -q "$@"
+  rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "FAILED: $f (rc=$rc)"
+    fail=1
+  fi
+done
+exit $fail
