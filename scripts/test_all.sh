@@ -25,6 +25,14 @@ for f in tests/test_*.py; do
   echo "=== $f ==="
   python -m pytest "$f" -q "$@"
   rc=$?
+  if [ $rc -eq 139 ] || [ $rc -eq 134 ]; then
+    # XLA:CPU's nondeterministic heap corruption during the big ladder
+    # compiles (environment bug, see verify skill): one retry in a fresh
+    # process; only a REPEAT crash (or a real test failure) fails the run
+    echo "RETRY after crash (rc=$rc): $f"
+    python -m pytest "$f" -q "$@"
+    rc=$?
+  fi
   if [ $rc -ne 0 ]; then
     echo "FAILED: $f (rc=$rc)"
     fail=1

@@ -243,6 +243,27 @@ class BatchPointCodec:
         ok = F.eq(F.mul(p["y"], p["y"]), self.rhs(p["x"]))
         return ok | self.ops.is_infinity(p)
 
+    def subgroup_mask_host(self, p: PointVec) -> np.ndarray:
+        """Host-exact Direct subgroup mask (infinity counts as in-group).
+        CPU-backend fallback: the windowed-ladder executable that
+        subgroup_mask_direct compiles is one of the crash-prone deep
+        graphs on XLA:CPU (see msm.host_fallback_enabled), and host
+        scalar-muls beat the minutes-long compile at the batch sizes CPU
+        runs see."""
+        aff = self.ops.to_affine_host(p)
+        hc = self.ops.host_curve
+        return np.array(
+            [pt.is_infinity or hc.in_subgroup(pt) for pt in aff], bool
+        )
+
+    def subgroup_mask(self, p: PointVec):
+        """Direct subgroup mask via the backend-appropriate path."""
+        from .msm import host_fallback_enabled
+
+        if host_fallback_enabled():
+            return self.subgroup_mask_host(p)
+        return self._subgroup_jit(p)
+
     def subgroup_mask_direct(self, p: PointVec):
         """Prime-order-subgroup membership mask per element (Direct mode).
 
@@ -371,7 +392,7 @@ class BatchPointCodec:
                 if not bool(jnp.all(self._oncurve_jit(p) | ~valid)):
                     raise SerializationError("point not on curve")
             if subgroup_mode is not SubgroupCheckMode.NO:
-                if not bool(jnp.all(self._subgroup_jit(p) | inf | ~valid)):
+                if not bool(jnp.all(self.subgroup_mask(p) | inf | ~valid)):
                     raise IncorrectSubgroupError("point not in prime-order subgroup")
 
     def _write_device(self, p: PointVec, normalized: bool = False):

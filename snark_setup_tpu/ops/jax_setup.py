@@ -80,7 +80,18 @@ def configure_jax() -> None:
             tag = hashlib.blake2s(flags.encode(), digest_size=6).hexdigest()
         except OSError:  # non-Linux: fall back to a shared dir
             tag = "any"
-        cache_dir = os.path.join(cache_dir, tag)
+        # Key per BACKEND too: CPU entries written by pre-round-4 runs
+        # include the crash-prone deep-ladder executables whose
+        # DESERIALIZE also segfaults (compilation_cache.py:238) — a
+        # backend-split directory strands those poisoned entries and
+        # keeps the (healthy, expensive) TPU entries separate.
+        try:
+            import jax as _jax
+
+            backend = _jax.default_backend()
+        except Exception:  # pragma: no cover
+            backend = "unknown"
+        cache_dir = os.path.join(cache_dir, f"{tag}-{backend}")
         os.makedirs(cache_dir, exist_ok=True)
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -956,7 +956,7 @@ def _check_subgroup_device(
     )
     ops = codec.ops
     if not batched:
-        ok = codec._subgroup_jit(pts)
+        ok = codec.subgroup_mask(pts)
         if not bool(jnp.all(ok | ops.is_infinity(pts))):
             raise IncorrectSubgroupError("element not in prime-order subgroup")
     else:
@@ -967,7 +967,7 @@ def _check_subgroup_device(
         raw = np.frombuffer(secrets.token_bytes(rounds * pad), np.uint8)
         bits = (raw.reshape(rounds, pad) & 1).astype(bool)
         sums = _batched_subgroup_sums(ops, pts, bits)
-        ok = codec._subgroup_jit(sums) | ops.is_infinity(sums)
+        ok = codec.subgroup_mask(sums) | ops.is_infinity(sums)
         if not bool(jnp.all(ok)):
             raise IncorrectSubgroupError("batched subgroup check failed")
 
