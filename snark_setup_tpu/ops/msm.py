@@ -69,7 +69,17 @@ def msm_secret(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray) -> PointVe
     The jit is compiled with the persistent compilation cache disabled:
     serializing this particular executable segfaults XLA:CPU (jax 0.9,
     compilation_cache.py:265) — the cache is only toggled off around the
-    first (compiling) call per (ops, shape) signature."""
+    first (compiling) call per (ops, shape) signature.
+
+    CPU backends fall back to exact HOST math: each new shape otherwise
+    forces another deep XLA:CPU ladder compile, and after ~10 of those
+    per process the compiler hits allocator corruption (see
+    host_fallback_enabled). The host path is NOT constant-time (python
+    bigints) — acceptable because the CPU-backend prover only serves the
+    acceptance tests; the production TPU path keeps the constant-time
+    GLV ladder."""
+    if host_fallback_enabled():
+        return _host_msm(ops, pts, scalars_raw)
     import jax
 
     from .jax_setup import no_persistent_cache

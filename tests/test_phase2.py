@@ -189,7 +189,12 @@ def test_mpc_end_to_end_proof():
     )
     domain = Radix2Domain(CURVE, phase2_size)
     powers = domain.log_size
-    acc = _accumulator(powers + 1, 4, UseCompression.YES)
+    # batch 16 REUSES the ceremony fixture's batch-16 ladder executable:
+    # a fresh batch-4 shape here forced one more big XLA:CPU ladder
+    # compile late in the process, which reliably hit the allocator-
+    # corruption abort (see scripts/test_all.sh); same coverage, one
+    # fewer deep compile, and faster
+    acc = _accumulator(powers + 1, 16, UseCompression.YES)
     gp = Groth16Params.new(
         CURVE,
         domain.size,
