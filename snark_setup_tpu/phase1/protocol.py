@@ -68,16 +68,23 @@ from ..ops.msm import (  # noqa: E402
 )
 
 
-_sm_cache = {}
-
-
 def _scalar_mul_jit(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
-    key = id(ops)
-    if key not in _sm_cache:
-        import jax
+    """Batch scalar-mul through the mesh runtime: sharded over all visible
+    devices when a multi-device mesh is active (shard/runtime.py), a plain
+    single-device jit otherwise."""
+    from ..shard import runtime
 
-        _sm_cache[key] = jax.jit(ops.scalar_mul)
-    return _sm_cache[key](pts, scalars_raw)
+    pts = runtime.put_points(ops, pts)
+    scalars_raw = runtime.put_scalars(ops, scalars_raw)
+    return runtime.scalar_mul(ops, pts, scalars_raw)
+
+
+def _shard_pad(pad: int) -> int:
+    """Batch pad width, rounded up so the batch axis shards evenly over an
+    active mesh (identity single-device)."""
+    from ..shard import runtime
+
+    return runtime.pad_width(pad)
 
 
 class Phase1:
@@ -197,9 +204,10 @@ class Phase1:
                 write-back. Powers come either from explicit host ints
                 (exp_ints) or a device-generated tau^i range
                 (exp_range=(start,end)). All batches are padded to one fixed
-                shape per section so jitted kernels compile once."""
+                shape per section so jitted kernels compile once (and so the
+                batch axis shards evenly over an active device mesh)."""
                 n = ec - sc
-                pad = parameters.batch_size + 1
+                pad = _shard_pad(parameters.batch_size + 1)
                 pts = codec.read_batch(
                     bytes(section_in.slice_of(input_buf, sc, ec)),
                     compressed_input,
@@ -459,14 +467,20 @@ class Phase1:
             ):
                 """Nonzero+subgroup check, optional RLC power-pair ratio
                 check, and write-through into the new challenge."""
+                from ..shard import runtime as _shard_rt
+
                 n = ec - sc
-                pad = parameters.batch_size + 1
+                pad = _shard_pad(parameters.batch_size + 1)
                 pts = codec.read_batch(
                     bytes(sec_out[sec_name].slice_of(output_buf, sc, ec)),
                     compressed_output,
                     CheckForCorrectness.ONLY_NON_ZERO,
                     pad_to=pad,
                 )
+                # distribute the batch over an active mesh: the subgroup
+                # subset sums and the RLC MSMs below then compile sharded
+                # (per-shard partials + all-gathered single-point reduce)
+                pts = _shard_rt.put_points(codec.ops, pts)
                 _check_subgroup_device(codec, pts, subgroup_check_mode, n)
                 if do_ratio:
                     scalars = _rng_scalars_padded(n - 1, pad - 1, rng=rlc_rng)
@@ -549,8 +563,10 @@ class Phase1:
             )
 
             def ratio_section(codec, sec_name, s, e, check_pair_g2=None, check_pair_g1=None):
+                from ..shard import runtime as _shard_rt
+
                 n = e - s
-                pad = parameters.batch_size + 1
+                pad = _shard_pad(parameters.batch_size + 1)
                 pts = codec.read_batch(
                     bytes(sec[sec_name].slice_of(output_buf, s, e)),
                     compressed_output,
@@ -558,6 +574,7 @@ class Phase1:
                     subgroup_mode=SubgroupCheckMode.NO,
                     pad_to=pad,
                 )
+                pts = _shard_rt.put_points(codec.ops, pts)
                 scalars = _rng_scalars_padded(n - 1, pad - 1, rng=rlc_rng)
                 s_pt, sx_pt = _power_pairs_device(codec.ops, pts, scalars)
                 if check_pair_g2 is not None:

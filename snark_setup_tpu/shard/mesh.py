@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.curve_jax import CurveOps, PointVec
@@ -79,7 +79,7 @@ def sharded_msm_fn(ops: CurveOps, mesh: Mesh, axis: str = "i"):
         mesh=mesh,
         in_specs=({"x": pspec, "y": pspec, "z": pspec}, sspec),
         out_specs={"x": P(), "y": P(), "z": P()},
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(lambda p, s: PointVec(sm(dict(p), s)))
 
@@ -112,7 +112,7 @@ def sharded_step_fn(ops: CurveOps, mesh: Mesh, axis: str = "i"):
             {"x": pspec, "y": pspec, "z": pspec},
             {"x": P(), "y": P(), "z": P()},
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     def f(p, s):
