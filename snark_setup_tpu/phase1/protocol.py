@@ -754,7 +754,10 @@ class Phase1:
         dc1 = batch_codec(spec.name, "g1")
         dc2 = batch_codec(spec.name, "g2")
 
-        B = parameters.batch_size
+        # caller-controlled batch sizes (reference scripts use 2^17/2^21)
+        # must not become single device graphs wider than the measured-safe
+        # bound — see BatchPointCodec.MAX_DEVICE_BATCH
+        B = min(parameters.batch_size, dc1.MAX_DEVICE_BATCH)
 
         def read_vec(codec, s: Section):
             if s.num_elements == 0:
@@ -796,7 +799,7 @@ class Phase1:
         dc1 = batch_codec(spec.name, "g1")
         dc2 = batch_codec(spec.name, "g2")
 
-        B = parameters.batch_size
+        B = min(parameters.batch_size, dc1.MAX_DEVICE_BATCH)
 
         def write_vec(codec, s: Section, pts):
             if not pts:
@@ -1000,7 +1003,14 @@ def _recode_section(
     comp_out: UseCompression,
     check: CheckForCorrectness = CheckForCorrectness.NO,
 ) -> None:
-    """Copy a section between buffers, re-coding compression if needed."""
+    """Copy a section between buffers, re-coding compression if needed.
+
+    Streams in bounded batches (<= MAX_DEVICE_BATCH elements each) so
+    combine/split/decompress never materialize a whole section as one
+    device graph — at the reference's power-27 target a section is 2^28-1
+    elements (benchmark.sh:4-8), far beyond both HBM and the measured
+    wide-graph miscompile boundary. Memory envelope: one batch of limb
+    planes (~13 MB for G1 at 2^13) regardless of section size."""
     if s_in.num_elements == 0:
         return
     if comp_in is comp_out and check is CheckForCorrectness.NO:
@@ -1009,5 +1019,13 @@ def _recode_section(
     spec = parameters.spec
     group = "g2" if name in ("tau_g2", "beta_g2") else "g1"
     codec = batch_codec(spec.name, group)
-    pts = codec.read_batch(bytes(s_in.slice_of(input_buf)), comp_in, check)
-    s_out.slice_of(output)[:] = codec.write_batch(pts, comp_out, normalized=True)
+    n = s_in.num_elements
+    B = min(n, codec.MAX_DEVICE_BATCH)
+    for off in range(0, n, B):
+        hi = min(off + B, n)
+        pts = codec.read_batch(
+            bytes(s_in.slice_of(input_buf, off, hi)), comp_in, check, pad_to=B
+        )
+        s_out.slice_of(output, off, hi)[:] = codec.write_batch(
+            pts, comp_out, normalized=True, n_valid=hi - off
+        )
