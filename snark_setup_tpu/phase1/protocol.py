@@ -456,6 +456,24 @@ class Phase1:
             dc1 = batch_codec(spec.name, "g1")
             dc2 = batch_codec(spec.name, "g2")
 
+            # Bounded dispatch/finish pipeline (VERDICT r4 #6, mirroring the
+            # contribution write-back pipeline): for each batch the device
+            # work — subgroup masks, the two RLC MSMs, and the new-challenge
+            # write conversion with async device->host copies — is ENQUEUED
+            # without any host sync; the blocking half (ok-flag readback,
+            # MSM point sync + host pairing checks, byte packing) runs while
+            # the NEXT batches' device work is already in flight. On the
+            # tunneled backend this overlaps the per-batch round-trip tax
+            # with compute; errors for batch i surface after batch i+1..
+            # has been dispatched (any failure is fatal either way,
+            # verification.rs:258).
+            VERIFY_PIPELINE_DEPTH = 3
+            pending: list = []
+
+            def vflush(limit: int = 0) -> None:
+                while len(pending) > limit:
+                    pending.pop(0)()
+
             def process_section(
                 codec: BatchPointCodec,
                 sec_name: str,
@@ -481,22 +499,32 @@ class Phase1:
                 # subset sums and the RLC MSMs below then compile sharded
                 # (per-shard partials + all-gathered single-point reduce)
                 pts = _shard_rt.put_points(codec.ops, pts)
-                _check_subgroup_device(codec, pts, subgroup_check_mode, n)
+                sg = _subgroup_start(codec, pts, subgroup_check_mode, n)
+                pp = None
                 if do_ratio:
                     scalars = _rng_scalars_padded(n - 1, pad - 1, rng=rlc_rng)
-                    s_pt, sx_pt = _power_pairs_device(codec.ops, pts, scalars)
-                    if check_pair_g2 is not None:
-                        eng.check_same_ratio(
-                            (s_pt, sx_pt), check_pair_g2, f"Power pairs {sec_name}"
-                        )
-                    else:
-                        eng.check_same_ratio(
-                            check_pair_g1, (s_pt, sx_pt), f"Power pairs {sec_name}"
-                        )
-                out_bytes = codec.write_batch(
-                    pts, compressed_new_challenge, normalized=True, n_valid=n
-                )
-                sec_new[sec_name].slice_of(new_challenge, sc, ec)[:] = out_bytes
+                    pp = _power_pairs_start(codec.ops, pts, scalars)
+                parts = codec.write_batch_start(pts, normalized=True)
+
+                def finish():
+                    _subgroup_finish(sg)
+                    if pp is not None:
+                        s_pt, sx_pt = _power_pairs_finish(codec.ops, pp)
+                        if check_pair_g2 is not None:
+                            eng.check_same_ratio(
+                                (s_pt, sx_pt), check_pair_g2, f"Power pairs {sec_name}"
+                            )
+                        else:
+                            eng.check_same_ratio(
+                                check_pair_g1, (s_pt, sx_pt), f"Power pairs {sec_name}"
+                            )
+                    out_bytes = codec.write_batch_finish(
+                        parts, compressed_new_challenge, n_valid=n
+                    )
+                    sec_new[sec_name].slice_of(new_challenge, sc, ec)[:] = out_bytes
+
+                pending.append(finish)
+                vflush(limit=VERIFY_PIPELINE_DEPTH - 1)
 
             for start, end in iter_chunk(parameters):
                 sc, ec = _chunk_rel(parameters, start, end)
@@ -530,6 +558,7 @@ class Phase1:
                         n = parameters.total_size_in_log2
                         process_section(dc1, "alpha_g1", 0, 3 + 3 * n, False)
                         process_section(dc2, "tau_g2", 0, n + 2, False)
+            vflush()
 
     # ------------------------------------------------------------------
     # Aggregate verification (verification.rs:505-769)
@@ -562,6 +591,15 @@ class Phase1:
                 read_el(hc1, sec["alpha_g1"], 1),
             )
 
+            # same bounded dispatch/finish pipeline as verification: MSMs
+            # for the next batches are enqueued while this batch's pairing
+            # checks run on host
+            pending: list = []
+
+            def vflush(limit: int = 0) -> None:
+                while len(pending) > limit:
+                    pending.pop(0)()
+
             def ratio_section(codec, sec_name, s, e, check_pair_g2=None, check_pair_g1=None):
                 from ..shard import runtime as _shard_rt
 
@@ -576,11 +614,17 @@ class Phase1:
                 )
                 pts = _shard_rt.put_points(codec.ops, pts)
                 scalars = _rng_scalars_padded(n - 1, pad - 1, rng=rlc_rng)
-                s_pt, sx_pt = _power_pairs_device(codec.ops, pts, scalars)
-                if check_pair_g2 is not None:
-                    eng.check_same_ratio((s_pt, sx_pt), check_pair_g2, f"Power pairs {sec_name}")
-                else:
-                    eng.check_same_ratio(check_pair_g1, (s_pt, sx_pt), f"Power pairs {sec_name}")
+                pp = _power_pairs_start(codec.ops, pts, scalars)
+
+                def finish():
+                    s_pt, sx_pt = _power_pairs_finish(codec.ops, pp)
+                    if check_pair_g2 is not None:
+                        eng.check_same_ratio((s_pt, sx_pt), check_pair_g2, f"Power pairs {sec_name}")
+                    else:
+                        eng.check_same_ratio(check_pair_g1, (s_pt, sx_pt), f"Power pairs {sec_name}")
+
+                pending.append(finish)
+                vflush(limit=2)
 
             if parameters.proving_system is ProvingSystem.GROTH16:
                 for start, end in iter_chunk(parameters):
@@ -624,6 +668,7 @@ class Phase1:
                     if start == 0:
                         ratio_section(dc1, "alpha_g1", 0, 3, check_pair_g2=g2_check)
                         ratio_section(dc2, "tau_g2", 0, 2, check_pair_g1=g1_check)
+            vflush()
 
     # ------------------------------------------------------------------
     # Aggregation / combine (aggregation.rs:11-180)
@@ -880,10 +925,12 @@ def _pow_u32(fr, base_mont, exps_u32, coeff_mont):
 _pp_slice_cache = {}
 
 
-def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
-    """merge_pairs(v[:-1], v[1:]) with shared random scalars: two device
-    MSMs through the public-scalar MSM path (Pippenger buckets above
-    PIPPENGER_MIN), results as host affine points (helpers.rs:371-390)."""
+def _power_pairs_start(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
+    """Dispatch merge_pairs(v[:-1], v[1:]) with shared random scalars: two
+    device MSMs through the public-scalar MSM path (Pippenger buckets above
+    PIPPENGER_MIN). Returns device single-point handles — NO host sync, so
+    a verification pipeline can enqueue the next batch's work while these
+    MSMs run (helpers.rs:371-390)."""
     import jax
 
     key = id(ops)
@@ -900,7 +947,18 @@ def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
     head, tail = _pp_slice_cache[key](pts)
     s = _msm_device(ops, PointVec(head), scalars_raw, RLC_BITS)
     sx = _msm_device(ops, PointVec(tail), scalars_raw, RLC_BITS)
+    return s, sx
+
+
+def _power_pairs_finish(ops: CurveOps, handle):
+    """Host half of _power_pairs_start: sync the two MSM points."""
+    s, sx = handle
     return ops.to_affine_host(s)[0], ops.to_affine_host(sx)[0]
+
+
+def _power_pairs_device(ops: CurveOps, pts: PointVec, scalars_raw: np.ndarray):
+    """Synchronous merge-pairs MSM (dispatch + finish in one call)."""
+    return _power_pairs_finish(ops, _power_pairs_start(ops, pts, scalars_raw))
 
 
 SUBGROUP_BATCH_ROUNDS = 64
@@ -967,29 +1025,46 @@ def _check_subgroup_device(
     windowed ladder (complete formulas, no endomorphism). Padding columns
     beyond n hold infinity points and contribute the identity to every
     subset sum."""
+    _subgroup_finish(_subgroup_start(codec, pts, mode, n))
+
+
+def _subgroup_start(
+    codec: BatchPointCodec, pts: PointVec, mode: SubgroupCheckMode, n: int
+):
+    """Dispatch half of _check_subgroup_device: enqueues the device work
+    and returns an (unsynced) all-ok scalar handle — letting a pipeline
+    overlap the next batch's read/MSM with this check."""
     import jax.numpy as jnp
 
     if mode is SubgroupCheckMode.NO:
-        return
+        return None
     batched = (mode is SubgroupCheckMode.BATCHED) or (
         mode is SubgroupCheckMode.AUTO and n > (1 << 12)
     )
     ops = codec.ops
     if not batched:
         ok = codec.subgroup_mask(pts)
-        if not bool(jnp.all(ok | ops.is_infinity(pts))):
-            raise IncorrectSubgroupError("element not in prime-order subgroup")
-    else:
-        import secrets
+        return ("direct", jnp.all(ok | ops.is_infinity(pts)))
+    import secrets
 
-        pad = int(pts["x"].shape[-1])
-        rounds = SUBGROUP_BATCH_ROUNDS
-        raw = np.frombuffer(secrets.token_bytes(rounds * pad), np.uint8)
-        bits = (raw.reshape(rounds, pad) & 1).astype(bool)
-        sums = _batched_subgroup_sums(ops, pts, bits)
-        ok = codec.subgroup_mask(sums) | ops.is_infinity(sums)
-        if not bool(jnp.all(ok)):
-            raise IncorrectSubgroupError("batched subgroup check failed")
+    pad = int(pts["x"].shape[-1])
+    rounds = SUBGROUP_BATCH_ROUNDS
+    raw = np.frombuffer(secrets.token_bytes(rounds * pad), np.uint8)
+    bits = (raw.reshape(rounds, pad) & 1).astype(bool)
+    sums = _batched_subgroup_sums(ops, pts, bits)
+    ok = codec.subgroup_mask(sums) | ops.is_infinity(sums)
+    return ("batched", jnp.all(ok))
+
+
+def _subgroup_finish(handle) -> None:
+    """Sync half of _subgroup_start: blocks on the all-ok scalar."""
+    if handle is None:
+        return
+    kind, ok = handle
+    if not bool(ok):
+        if kind == "direct":
+            raise IncorrectSubgroupError("element not in prime-order subgroup")
+        raise IncorrectSubgroupError("batched subgroup check failed")
 
 
 def _recode_section(
