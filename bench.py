@@ -51,6 +51,9 @@ def main():
     batch = int(os.environ.get("SNARK_BENCH_BATCH", "16384"))
     reps = int(os.environ.get("SNARK_BENCH_REPS", "3"))
 
+    from snark_setup_tpu.ops.curve_jax import PointVec
+    from snark_setup_tpu.shard import runtime
+
     ops = curve_ops("bls12_377", "g1")
     hc = ops.host_curve
     rng = np.random.default_rng(42)
@@ -63,18 +66,32 @@ def main():
     ks = [int.from_bytes(rng.bytes(31), "little") % ops.spec.r for _ in range(batch)]
     sc = np.ascontiguousarray(ints_to_limbs_batch(ks, ops.fr.L).T)
 
-    f = jax.jit(ops.scalar_mul)
-    r = f(pts, sc)
+    # Device-resident operands: production streams batches through the
+    # bounded async pipeline (uploads overlap compute), and on the tunneled
+    # axon backend a per-rep host->device copy of ~6 MB costs more than the
+    # kernel itself — timing it would measure the tunnel, not the chip.
+    # runtime.scalar_mul is the production entry (lane-bounded slicing,
+    # mesh sharding when active).
+    dpts = PointVec({k: jax.device_put(np.asarray(pts[k])) for k in ("x", "y", "z")})
+    dsc = jax.device_put(sc)
+    r = runtime.scalar_mul(ops, dpts, dsc)
     _ = np.asarray(r["x"])  # warm-up + true sync
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        r = f(pts, sc)
+        r = runtime.scalar_mul(ops, dpts, dsc)
         _ = np.asarray(r["x"])  # sync through readback
         times.append(time.time() - t0)
     dt = min(times)
     rate = batch / dt
+
+    # oracle spot-check: a silently-corrupt kernel must not post a number
+    idxs = [0, batch // 3, batch // 2, batch - 1]
+    sub = PointVec({k: np.asarray(v)[..., idxs] for k, v in r.items()})
+    aff = ops.to_affine_host(sub)
+    for j, i in enumerate(idxs):
+        assert aff[j] == hc.mul(base_pts[i % 4], ks[i]), f"oracle mismatch at lane {i}"
     print(
         json.dumps(
             {

@@ -118,9 +118,15 @@ def _batched_mul_inplace(
     ranges, so deferred write-back is safe)."""
     codec = batch_codec(spec.name, "g1")
     ops = codec.ops
-    import jax
+    # mesh-sharded + lane-bounded scalar-mul (shard/runtime.py): the
+    # caller-controlled batch_size must never become one unbounded device
+    # trace (the GLV decompose graph corrupts at specific wide shapes —
+    # see runtime.SCALAR_MUL_MAX_LANES)
+    from ..shard import runtime as _shard_rt
 
-    mul = jax.jit(ops.scalar_mul)
+    def mul(p, s):
+        return _shard_rt.scalar_mul(ops, _shard_rt.put_points(ops, p), _shard_rt.put_scalars(ops, s))
+
     raw = np.ascontiguousarray(
         np.broadcast_to(ints_to_limbs_batch([scalar], ops.fr.L).T, (ops.fr.L, batch_size))
     )

@@ -138,23 +138,69 @@ def put_scalars(ops: CurveOps, scalars) -> np.ndarray:
 
 _sharded_mul_cache: dict = {}
 
+SCALAR_MUL_MAX_LANES = 1 << 14
+"""Widest batch any single scalar-mul trace may span. Measured on v5e
+(2026-08-22): the GLV decomposition graph returns WRONG half-scalars for
+every lane at batch 32768/32769 while 16384, 24576, 49152 and 65536/65537
+are host-oracle-correct — a shape-specific silent miscompile in the same
+XLA wide-graph family the codec guards against (codec_jax
+.MAX_DEVICE_BATCH). A ceremony tool cannot trust per-shape luck, so
+scalar_mul slices its batch into <= 2^14-lane sub-traces INSIDE one jit
+(one dispatch; every sub-graph stays at a validated shape).
+SNARK_SETUP_SCALAR_MUL_MAX_LANES overrides for experiments;
+benches/repro_widegraph.py reprints the measurement."""
+
+
+def _max_lanes() -> int:
+    return int(
+        os.environ.get("SNARK_SETUP_SCALAR_MUL_MAX_LANES", str(SCALAR_MUL_MAX_LANES))
+    )
+
 
 def scalar_mul(ops: CurveOps, pts: PointVec, scalars_raw):
     """The contribution hot loop's batch scalar-mul, sharded over the mesh
     when one is active (replaces the plain jit in phase1/protocol.py).
     Elementwise over the batch axis: GSPMD partitions it with zero
-    collectives; each shard runs the same fused GLV ladder kernels."""
+    collectives; each shard runs the same fused GLV ladder kernels.
+    Batches wider than SCALAR_MUL_MAX_LANES are sliced inside the jit."""
     import jax
+    import jax.numpy as jnp
 
     mesh = active_mesh()
-    key = id(ops)
+    B = int(pts["x"].shape[-1])
+    M = _max_lanes()
+    key = (id(ops), B if B > M else 0)
     if key not in _sharded_mul_cache:
+        if B > M:
+
+            def sliced(p, s):
+                outs = [
+                    dict(
+                        ops.scalar_mul(
+                            PointVec(
+                                {k: v[..., lo : lo + M] for k, v in p.items()}
+                            ),
+                            s[..., lo : lo + M],
+                        )
+                    )
+                    for lo in range(0, B, M)
+                ]
+                return PointVec(
+                    {
+                        k: jnp.concatenate([o[k] for o in outs], axis=-1)
+                        for k in ("x", "y", "z")
+                    }
+                )
+
+            base = sliced
+        else:
+            base = ops.scalar_mul
         if mesh is None:
-            _sharded_mul_cache[key] = jax.jit(ops.scalar_mul)
+            _sharded_mul_cache[key] = jax.jit(base)
         else:
             point, scalar = _specs(ops)
             _sharded_mul_cache[key] = jax.jit(
-                ops.scalar_mul,
+                base,
                 in_shardings=(
                     PointVec(x=point, y=point, z=point),
                     scalar,
