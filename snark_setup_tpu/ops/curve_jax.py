@@ -574,19 +574,18 @@ class CurveOps:
 
         from .pallas_field import pallas_enabled
 
+        flag = os.environ.get("SNARK_SETUP_FUSED_LADDER", "auto")
         if (
             pallas_enabled()
             and self.field.degree == 1
-            and os.environ.get("SNARK_SETUP_FUSED_LADDER", "0") in ("1", "on")
+            and flag not in ("0", "off", "false")
         ):
             # whole-ladder fused kernel: table + accumulator stay in VMEM
-            # for all windows (pallas_ladder.py). OPT-IN: measured 15.2k
-            # exp/s/chip at TILE_B=512 vs 32.5k for the stacked-round path
-            # at batch 16k — the multi-kernel path was compute- (not HBM-)
-            # bound, so fusing buys nothing and Mosaic's codegen for the
-            # limb loops trails XLA fusion. Kept as the base for the
-            # VMEM-resident variants (and it IS the faster path below
-            # batch ~1k, where dispatch overhead dominates the old path).
+            # for all windows (pallas_ladder.py). DEFAULT on TPU since the
+            # 2026-08-22 tile fix: at TILE_B=128 it measured 78-81k exp/s
+            # vs 72-75k for the multi-kernel group-op path in every paired
+            # bench.py A/B (the old 15-32k numbers came from TILE_B
+            # 256/512, where the 6-wide stacked add rounds spill).
             from .pallas_ladder import fused_ladder_for
 
             lad = fused_ladder_for(self.spec.name, self.group_name)

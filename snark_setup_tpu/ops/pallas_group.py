@@ -59,6 +59,13 @@ class PallasGroupOps:
     """Fused double/add kernels for one degree-1 a=0 CurveOps."""
 
     TILE_B = 256
+    TILE_B_ADD = 128
+    """The add's widest lane-stacked round is 6-wide (vs the double's 4);
+    at tile 256 that is a 1536-lane working set and the kernel measured
+    ~2.75x a double against a ~1.5x op-count ratio. Tile 128 won every
+    paired bench.py A/B on v5e (2026-08-22: 76k/60k/81k exp/s vs
+    69k/55k/53k at 256) — the 768-lane working set keeps the 6-wide
+    rounds out of spill territory."""
 
     def __init__(self, ops):
         assert ops.field.degree == 1 and ops.a_is_zero
@@ -72,8 +79,14 @@ class PallasGroupOps:
         self.b3s = _b3s_for(ops)
         self._cache = {}
 
-    def tile_b(self) -> int:
-        return int(os.environ.get("SNARK_SETUP_GROUP_TILE_B", str(self.TILE_B)))
+    def tile_b(self, kind: str = "dbl") -> int:
+        """Batch-tile width, per op kind: the add's lane-stacked rounds are
+        6 wide (vs the double's 4), so its VMEM/vreg working set at a given
+        tile is 1.5x the double's — the optimum can differ.
+        SNARK_SETUP_GROUP_TILE_B sets both; _ADD/_DBL override per kind."""
+        default = self.TILE_B_ADD if kind == "add" else self.TILE_B
+        base = os.environ.get("SNARK_SETUP_GROUP_TILE_B", str(default))
+        return int(os.environ.get(f"SNARK_SETUP_GROUP_TILE_B_{kind.upper()}", base))
 
     def _make_dbl_kernel(self):
         L = self.L
@@ -150,7 +163,7 @@ class PallasGroupOps:
 
     def _run(self, kind: str, coords, interpret: bool):
         B = coords[0].shape[-1]
-        TB = min(self.tile_b(), max(128, B))
+        TB = min(self.tile_b(kind), max(128, B))
         Bp = -(-B // TB) * TB
         if Bp != B:
             pad = Bp - B

@@ -36,6 +36,7 @@ helpers.rs:75-140) on the TPU compute path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -336,7 +337,13 @@ def _b3s_for(ops):
 class FusedGLVLadder:
     """Compiled fused ladder for one (CurveOps, tile) signature."""
 
-    TILE_B = 256
+    TILE_B = 128
+    """Measured on v5e (2026-08-22, bench.py at batch 16k): TB=128 runs the
+    whole-ladder kernel at 78-81k exp/s vs 32.5k at TB=256 — the 6-wide
+    lane-stacked rounds of _kadd spill beyond the vreg budget at 1536
+    lanes. At 128 the fused ladder also beats the multi-kernel group-op
+    path (72-75k) in every paired A/B, so it is the TPU default (see
+    fused_ladder_enabled)."""
 
     def __init__(self, ops):
         assert ops.field.degree == 1 and ops.glv is not None and ops.a_is_zero
@@ -385,7 +392,8 @@ class FusedGLVLadder:
 
         B = pts["x"].shape[-1]
         nwin = d1.shape[0]
-        TB = min(self.TILE_B, max(128, B))
+        tile = int(os.environ.get("SNARK_SETUP_LADDER_TILE_B", str(self.TILE_B)))
+        TB = min(tile, max(128, B))
         Bp = -(-B // TB) * TB
         x, y, z = pts["x"], pts["y"], pts["z"]
         if Bp != B:
