@@ -564,13 +564,10 @@ class CurveOps:
         one fused coefficient-wise Fq multiply (phi is a homomorphism, so
         phi(j * s1 P) = j * s1 phi(P); a conditional y-negation fixes the
         sign where s1 != s2)."""
+        import os
+
         w = self.WINDOW
         nbits = self.glv.p.nbits
-        m1, neg1, m2, neg2 = self.glv.decompose(scalars_raw)
-        d1 = self.scalar_digits_msb(m1, w, nbits)
-        d2 = self.scalar_digits_msb(m2, w, nbits)
-
-        import os
 
         from .pallas_field import pallas_enabled
 
@@ -585,11 +582,22 @@ class CurveOps:
             # 2026-08-22 tile fix: at TILE_B=128 it measured 78-81k exp/s
             # vs 72-75k for the multi-kernel group-op path in every paired
             # bench.py A/B (the old 15-32k numbers came from TILE_B
-            # 256/512, where the 6-wide stacked add rounds spill).
+            # 256/512, where the 6-wide stacked add rounds spill). The
+            # decomposition + digit recode also runs as one pallas kernel
+            # (pallas_glv.py): ~28 ms of XLA product-table data movement
+            # gone, and the decompose graph with the measured 32k-lane
+            # silent miscompile leaves the hot path entirely.
+            from .pallas_glv import glv_digits_for
             from .pallas_ladder import fused_ladder_for
 
+            dig = glv_digits_for(self.spec.name, self.group_name)
+            d1, d2, neg1, flip = dig(scalars_raw)
             lad = fused_ladder_for(self.spec.name, self.group_name)
-            return lad(p, d1, d2, neg1, neg1 != neg2)
+            return lad(p, d1, d2, neg1, flip)
+
+        m1, neg1, m2, neg2 = self.glv.decompose(scalars_raw)
+        d1 = self.scalar_digits_msb(m1, w, nbits)
+        d2 = self.scalar_digits_msb(m2, w, nbits)
         B = scalars_raw.shape[-1]
 
         F = self.field

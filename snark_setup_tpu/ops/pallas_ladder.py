@@ -250,7 +250,7 @@ def _make_ladder_kernel(L: int, nwin: int, b3s=None):
     def kernel(
         x_ref, y_ref, z_ref, d1_ref, d2_ref, neg_ref, flip_ref,
         n_ref, np_ref, b3_ref, one_ref,
-        beta_ref, ox_ref, oy_ref, oz_ref, tx_ref, ty_ref, tz_ref,
+        beta_ref, ox_ref, oy_ref, oz_ref, tx_ref, ty_ref, tz_ref, t2x_ref,
     ):
         TB = x_ref.shape[-1]
         # constants arrive pre-materialized at (L, TB): Mosaic cannot lower
@@ -298,22 +298,34 @@ def _make_ladder_kernel(L: int, nwin: int, b3s=None):
 
         jax.lax.fori_loop(3, TABLE, tbody, 0)
 
-        def select(d):
+        # endo table: t2x[j] = beta * tx[j], materialized ONCE with 4-wide
+        # lane-stacked products (static j — Mosaic-friendly scratch writes)
+        # instead of one narrow singleton _fmul per window (~2x the mults,
+        # each poorly pipelined at stack width 1)
+        t2x_ref[0] = zero_b
+        for j0 in range(1, TABLE, 4):
+            js = [j for j in range(j0, min(j0 + 4, TABLE))]
+            outs = _stack_mul(
+                [(tx_ref[j], beta_b) for j in js], NS, NpS, TB
+            )
+            for j, o in zip(js, outs):
+                t2x_ref[j] = o
+
+        def select(d, xref):
             # d: (1, TB); one-hot accumulate over the 16 static table rows
             sx, sy, sz = zero_b, one_b, zero_b
             for j in range(1, TABLE):
                 m = d == np.uint32(j)
-                sx = jnp.where(m, tx_ref[j], sx)
+                sx = jnp.where(m, xref[j], sx)
                 sy = jnp.where(m, ty_ref[j], sy)
                 sz = jnp.where(m, tz_ref[j], sz)
             return sx, sy, sz
 
         def wbody(k, acc):
             acc = jax.lax.fori_loop(0, WINDOW, lambda _, a: kdbl(a), acc)
-            s1 = select(d1_ref[pl.ds(k, 1)])
+            s1 = select(d1_ref[pl.ds(k, 1)], tx_ref)
             acc = kadd(acc, s1)
-            s2x, s2y, s2z = select(d2_ref[pl.ds(k, 1)])
-            s2x = _fmul(s2x, beta_b, N_b, Np_b)
+            s2x, s2y, s2z = select(d2_ref[pl.ds(k, 1)], t2x_ref)
             s2y = jnp.where(flip > 0, _fneg(s2y, N_b), s2y)
             acc = kadd(acc, (s2x, s2y, s2z))
             return acc
@@ -379,7 +391,7 @@ class FusedGLVLadder:
                 in_specs=[coord] * 3 + [digit] * 2 + [mask] * 2 + [const] * 5,
                 out_specs=(coord, coord, coord),
                 scratch_shapes=[
-                    pltpu.VMEM((TABLE, L, TB), jnp.uint32) for _ in range(3)
+                    pltpu.VMEM((TABLE, L, TB), jnp.uint32) for _ in range(4)
                 ],
                 interpret=interpret,
             )

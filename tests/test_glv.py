@@ -143,3 +143,38 @@ def test_endo_subgroup_check_matches_order_mul():
     classic = np.asarray(ops.is_infinity(ops.scalar_mul_windowed(pts, r_limbs)))
     endo = np.asarray(codec.subgroup_mask_direct(pts))
     assert (classic == endo).all()
+
+
+def test_pallas_digits_match_xla_decompose():
+    """The fused decompose+digits pallas kernel (interpret mode) is
+    bit-exact with the XLA decompose + scalar_digits_msb pipeline."""
+    import jax.numpy as jnp
+
+    from snark_setup_tpu.fields.limb import ints_to_limbs_batch
+    from snark_setup_tpu.ops.curve_jax import curve_ops
+    from snark_setup_tpu.ops.pallas_glv import PallasGLVDigits
+
+    for curve, group in (("bls12_377", "g1"), ("bw6_761", "g2")):
+        ops = curve_ops(curve, group)
+        if ops.glv is None:
+            continue
+        rng = np.random.default_rng(11)
+        B = 8
+        ks = [int.from_bytes(rng.bytes(40), "little") % ops.spec.r for _ in range(B)]
+        ks[0] = 0
+        ks[1] = 1
+        ks[2] = ops.spec.r - 1
+        sc = np.ascontiguousarray(ints_to_limbs_batch(ks, ops.fr.L).T)
+
+        m1, neg1, m2, neg2 = ops.glv.decompose(sc)
+        e1 = np.asarray(ops.scalar_digits_msb(m1, ops.WINDOW, ops.glv.p.nbits))
+        e2 = np.asarray(ops.scalar_digits_msb(m2, ops.WINDOW, ops.glv.p.nbits))
+        eneg = np.asarray(neg1)
+        eflip = np.asarray(neg1 != neg2)
+
+        dig = PallasGLVDigits(ops)
+        d1, d2, neg, flip = dig(jnp.asarray(sc), interpret=True)
+        assert (np.asarray(d1) == e1).all(), f"{curve}/{group} d1 mismatch"
+        assert (np.asarray(d2) == e2).all(), f"{curve}/{group} d2 mismatch"
+        assert (np.asarray(neg).astype(bool) == eneg).all()
+        assert (np.asarray(flip).astype(bool) == eflip).all()
