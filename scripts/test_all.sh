@@ -21,15 +21,19 @@ export JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu
 export SNARK_SETUP_JAX_CACHE="${SNARK_SETUP_JAX_CACHE:-$PWD/.jax_cache}"
 
 fail=0
+retries=0
+retried_files=""
 for f in tests/test_*.py; do
   echo "=== $f ==="
   python -m pytest "$f" -q "$@"
   rc=$?
   if [ $rc -eq 139 ] || [ $rc -eq 134 ]; then
     # XLA:CPU's nondeterministic heap corruption during the big ladder
-    # compiles (environment bug, see verify skill): one retry in a fresh
+    # compiles (KNOWN_ISSUES.md #3): one LOUD, COUNTED retry in a fresh
     # process; only a REPEAT crash (or a real test failure) fails the run
     echo "RETRY after crash (rc=$rc): $f"
+    retries=$((retries + 1))
+    retried_files="$retried_files $f"
     python -m pytest "$f" -q "$@"
     rc=$?
   fi
@@ -38,4 +42,12 @@ for f in tests/test_*.py; do
     fail=1
   fi
 done
+echo "==============================================="
+if [ $retries -gt 0 ]; then
+  echo "CRASH RETRIES: $retries ($retried_files) — XLA:CPU heap corruption,"
+  echo "see KNOWN_ISSUES.md #3. A green run with retries is still a pass,"
+  echo "but the count must stay visible."
+else
+  echo "CRASH RETRIES: 0"
+fi
 exit $fail
