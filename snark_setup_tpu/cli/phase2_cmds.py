@@ -238,24 +238,24 @@ def prepare_phase2(
     """phase2-cli/src/prepare_phase2.rs:16-69 (with the stale-signature wart
     fixed: correctness checking is an explicit argument there but the bin
     passes 4 args; here it's one coherent function)."""
-    from ..phase1.protocol import Phase1
+    from ..phase2.lagrange import prepare_transcript_device
 
     with open(response_fname, "rb") as f:
         response = f.read()
-    acc = Phase1.deserialize(
-        response, UseCompression.NO, CheckForCorrectness.NO, parameters
-    )
-    groth16_params = Groth16Params.new(
+    # device-resident path: bounded reads -> on-device IFFT/h-query ->
+    # bounded writes, no per-point Python objects (byte-identical to
+    # Groth16Params.new().write(), scales to reference production sizes)
+    transcript = prepare_transcript_device(
         spec.name,
         phase2_size,
-        acc.tau_powers_g1,
-        acc.tau_powers_g2,
-        acc.alpha_tau_powers_g1,
-        acc.beta_tau_powers_g1,
-        acc.beta_g2,
+        response,
+        parameters,
+        UseCompression.NO,
+        CheckForCorrectness.NO,
+        UseCompression.NO,
     )
     import os
 
     if os.path.exists(phase2_fname):
         raise FileExistsError(phase2_fname)
-    write_to_file(phase2_fname, groth16_params.write(UseCompression.NO))
+    write_to_file(phase2_fname, transcript)

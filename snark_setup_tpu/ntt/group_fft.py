@@ -87,16 +87,73 @@ class GroupFFT:
             np.stack(perms),
         )
 
-    def _build(self, inverse: bool):
-        ops, n = self.ops, self.n
-        omega = self.domain.group_gen_inv if inverse else self.domain.group_gen
-        tw_arr, ev_idx, od_idx, perm = self._stage_tables(omega)
-        rev = self._rev
-        scale_raw = None
-        if inverse:
-            L = ops.fr.L
-            scale_raw = np.ascontiguousarray(
-                ints_to_limbs_batch([self.domain.size_inv] * n, L).T
+    def _tables(self, inverse: bool):
+        """Host table tuple (twiddles, gather indices, permutation, bit-rev,
+        inverse scale) for one direction — passed to the compiled program
+        as ARGUMENTS, not baked as constants: at 2^18 the stage-uniform
+        twiddle array alone is ~150 MB, and constant-baking it made the
+        serialized compile request exceed the tunneled backend's request
+        body limit (HTTP 413) besides bloating the executable."""
+        key = ("tables", inverse)
+        if key not in self._jit_cache:
+            ops, n = self.ops, self.n
+            omega = (
+                self.domain.group_gen_inv if inverse else self.domain.group_gen
+            )
+            tw_arr, ev_idx, od_idx, perm = self._stage_tables(omega)
+            scale_raw = None
+            if inverse:
+                L = ops.fr.L
+                scale_raw = np.ascontiguousarray(
+                    ints_to_limbs_batch([self.domain.size_inv] * n, L).T
+                )
+            else:
+                L = ops.fr.L
+                scale_raw = np.ascontiguousarray(
+                    ints_to_limbs_batch([1] * n, L).T
+                )
+            self._jit_cache[key] = (
+                tw_arr, ev_idx, od_idx, perm, self._rev, scale_raw, inverse,
+            )
+        return self._jit_cache[key]
+
+    # Widest lane span of one stage scalar-mul trace. Two reasons, both
+    # measured: (a) the wide-graph miscompile family (KNOWN_ISSUES.md #1);
+    # (b) device MEMORY — the extension-field (G2) ladder has no
+    # VMEM-resident fused kernel, so its 2x16-entry window tables
+    # materialize in HBM at ~(L*d*16*B*4 B) per coordinate: at 2^17 lanes
+    # on BLS12-377 G2 that is ~10 GB and the v5e worker OOM-crashes
+    # (observed 2026-08-22 at the 2^18 prepare run). 2^14-lane slices keep
+    # the table working set ~1.2 GB.
+    MAX_SM_LANES = 1 << 14
+
+    def _traceable(self):
+        """The direction-agnostic traced function f(p, tables) -> PointVec
+        (tables from _tables; the final scale is all-ones for the forward
+        direction so one trace serves both)."""
+        ops = self.ops
+        M = self.MAX_SM_LANES
+
+        def sm_bounded(pts: PointVec, tw):
+            import jax.numpy as jnp
+
+            B = pts["x"].shape[-1]
+            if B <= M:
+                return ops.scalar_mul(pts, tw)
+            outs = [
+                dict(
+                    ops.scalar_mul(
+                        PointVec({k: v[..., lo : lo + M] for k, v in pts.items()}),
+                        tw[..., lo : lo + M],
+                    )
+                )
+                for lo in range(0, B, M)
+            ]
+            return PointVec(
+                {
+                    k: jnp.concatenate([o[k] for o in outs], axis=-1)
+                    for k in ("x", "y", "z")
+                }
             )
 
         def take_batch(arr, idx):
@@ -104,17 +161,18 @@ class GroupFFT:
 
             return jnp.take(arr, idx, axis=arr.ndim - 1)
 
-        def f(p: PointVec) -> PointVec:
+        def f(p: PointVec, tables) -> PointVec:
             import jax.tree_util as jtu
             import jax.numpy as jnp
 
+            tw_arr, ev_idx, od_idx, perm, rev, scale_raw = tables
             x = PointVec(jtu.tree_map(lambda a: take_batch(a, rev), dict(p)))
 
             def stage(x, st):
                 tw, ei, oi, pm = st
                 even = PointVec(jtu.tree_map(lambda a: take_batch(a, ei), dict(x)))
                 odd = PointVec(jtu.tree_map(lambda a: take_batch(a, oi), dict(x)))
-                t = ops.scalar_mul(odd, tw)
+                t = sm_bounded(odd, tw)
                 hi = ops.add(even, t)
                 lo = ops.add(even, ops.neg(t))
                 cat = jtu.tree_map(
@@ -125,15 +183,22 @@ class GroupFFT:
                 return PointVec(cat), None
 
             x, _ = jax.lax.scan(stage, x, (tw_arr, ev_idx, od_idx, perm))
-            if scale_raw is not None:
-                x = ops.scalar_mul(x, scale_raw)
-            return x
+            return sm_bounded(x, scale_raw)
 
-        return jax.jit(f)
+        return f
 
     def _get(self, inverse: bool):
         if inverse not in self._jit_cache:
-            self._jit_cache[inverse] = self._build(inverse)
+            jf = jax.jit(self._traceable())
+            tables = self._tables(inverse)[:6]
+            dev = {"v": None}
+
+            def call(p: PointVec) -> PointVec:
+                if dev["v"] is None:
+                    dev["v"] = jax.device_put(tables)
+                return jf(p, dev["v"])
+
+            self._jit_cache[inverse] = call
         return self._jit_cache[inverse]
 
     def ifft(self, p: PointVec) -> PointVec:

@@ -172,3 +172,118 @@ class Groth16Params:
                 beta_coeffs_g1,
                 h_g1,
             )
+
+
+def prepare_transcript_device(
+    curve_name: str,
+    phase2_size: int,
+    response,
+    parameters,
+    compression_in: UseCompression = UseCompression.NO,
+    check: CheckForCorrectness = CheckForCorrectness.NO,
+    compression_out: UseCompression = UseCompression.NO,
+) -> bytes:
+    """Device-resident prepare_phase2 (VERDICT r4 #4): bytes -> bounded
+    device reads -> on-device IFFTs + h-query -> bounded device writes,
+    WITHOUT ever materializing a vector as Python AffinePoint objects
+    (Groth16Params.new holds ~domain_size host points per section — at the
+    reference's 2^27 target that is ~10^8 Python objects; this path's host
+    footprint is one bounded batch of limb planes).
+
+    Byte-identical to Groth16Params.new(...).write(compression_out)
+    (tests/test_phase2.py::test_prepare_device_matches_host). Reference:
+    phase2-cli/src/prepare_phase2.rs:16-69, groth16_utils.rs:44-131."""
+    import jax.numpy as jnp
+
+    from ..ops.codec_jax import batch_codec
+    from ..ops.curve_jax import PointVec
+    from ..phase1.buffers import split as p1_split
+    from ..serialize.arkworks import g1_codec, g2_codec
+
+    with info_span("prepare-phase2-device", logger):
+        spec = get_curve(curve_name)
+        domain = Radix2Domain(curve_name, phase2_size)
+        m = domain.size
+        sec = p1_split(parameters, compression_in)
+        if (
+            m > sec["tau_g2"].num_elements
+            or 2 * m - 1 > sec["tau_g1"].num_elements
+            or m > sec["alpha_g1"].num_elements
+            or m > sec["beta_g1"].num_elements
+        ):
+            raise ValueError(
+                f"phase2 domain size {m} exceeds phase-1 vector lengths"
+            )
+        c1 = batch_codec(curve_name, "g1")
+        c2 = batch_codec(curve_name, "g2")
+
+        def read_dev(codec, s, count) -> PointVec:
+            M = codec.MAX_DEVICE_BATCH
+            parts = []
+            for lo in range(0, count, M):
+                hi = min(lo + M, count)
+                parts.append(
+                    dict(
+                        codec.read_batch(
+                            bytes(s.slice_of(response, lo, hi)),
+                            compression_in,
+                            check,
+                        )
+                    )
+                )
+            if len(parts) == 1:
+                return PointVec(parts[0])
+            return PointVec(
+                {
+                    k: jnp.concatenate([p[k] for p in parts], axis=-1)
+                    for k in ("x", "y", "z")
+                }
+            )
+
+        def write_dev(codec, pts, count) -> bytes:
+            return codec.write_batch(pts, compression_out, n_valid=count)
+
+        f1 = group_fft(curve_name, "g1", m)
+        f2 = group_fft(curve_name, "g2", m)
+
+        hc1, hc2 = g1_codec(spec), g2_codec(spec)
+
+        def read_one(codec, s):
+            return codec.deserialize(
+                bytes(s.slice_of(response, 0, 1)), compression_in, check
+            )
+
+        alpha_g1 = read_one(hc1, sec["alpha_g1"])
+        beta_g1 = read_one(hc1, sec["beta_g1"])
+        beta_g2 = read_one(hc2, sec["beta_g2"])
+
+        tau1_full = read_dev(c1, sec["tau_g1"], 2 * m - 1)
+        h_bytes = write_dev(
+            c1, h_query_device(f1.ops, tau1_full, m), m - 1
+        )
+        logger.debug("h query coefficients calculated")
+        tau1_m = PointVec({k: v[..., :m] for k, v in tau1_full.items()})
+        del tau1_full
+        coeffs_g1 = write_dev(c1, f1.ifft(tau1_m), m)
+        del tau1_m
+        logger.debug("tau g1 coefficients calculated")
+        coeffs_g2 = write_dev(c2, f2.ifft(read_dev(c2, sec["tau_g2"], m)), m)
+        logger.debug("tau g2 coefficients calculated")
+        alpha_coeffs = write_dev(
+            c1, f1.ifft(read_dev(c1, sec["alpha_g1"], m)), m
+        )
+        beta_coeffs = write_dev(
+            c1, f1.ifft(read_dev(c1, sec["beta_g1"], m)), m
+        )
+        return b"".join(
+            [
+                hc1.serialize(alpha_g1, compression_out),
+                hc1.serialize(beta_g1, compression_out),
+                hc2.serialize(beta_g2, compression_out),
+                coeffs_g1,
+                coeffs_g2,
+                alpha_coeffs,
+                beta_coeffs,
+                h_bytes,
+            ]
+        )

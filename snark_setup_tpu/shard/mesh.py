@@ -140,4 +140,11 @@ def sharded_group_ifft_fn(curve_name: str, group: str, n: int, mesh: Mesh, axis:
     pspec = _point_spec(ops, axis)
     pshard = NamedSharding(mesh, pspec)
     shardings = PointVec(x=pshard, y=pshard, z=pshard)
-    return jax.jit(gf._get(True), in_shardings=(shardings,), out_shardings=shardings)
+    # twiddle/index tables ride as replicated ARGUMENTS (constant-baking
+    # them breaks at production sizes — see GroupFFT._tables)
+    repl = NamedSharding(mesh, P())
+    jf = jax.jit(
+        gf._traceable(), in_shardings=(shardings, repl), out_shardings=shardings
+    )
+    tables = jax.device_put(gf._tables(True)[:6], repl)
+    return lambda p: jf(p, tables)

@@ -221,3 +221,29 @@ def test_mpc_end_to_end_proof():
     proof = groth16.prove(spec, pk, TestCircuit(5), derive_rng_from_seed(b"prover"))
     assert groth16.verify(spec, pk.vk, proof, [25])
     assert not groth16.verify(spec, pk.vk, proof, [26])
+
+
+def test_prepare_device_matches_host():
+    """The device-resident prepare path (bounded reads -> on-device IFFT ->
+    bounded writes; no Python point vectors) is byte-identical to
+    Groth16Params.new().write() (VERDICT r4 #4)."""
+    from snark_setup_tpu.phase2.lagrange import prepare_transcript_device
+
+    params = Phase1Parameters.new_full(CURVE, ProvingSystem.GROTH16, 3, 8)
+    _, out, _, _, _ = setup_verify(
+        UseCompression.NO, CheckForCorrectness.NO, UseCompression.NO, params
+    )
+    acc = Phase1.deserialize(out, UseCompression.NO, CheckForCorrectness.NO, params)
+    for phase2_size in (4, 8):
+        gp = Groth16Params.new(
+            CURVE,
+            phase2_size,
+            acc.tau_powers_g1,
+            acc.tau_powers_g2,
+            acc.alpha_tau_powers_g1,
+            acc.beta_tau_powers_g1,
+            acc.beta_g2,
+        )
+        expect = gp.write(UseCompression.NO)
+        got = prepare_transcript_device(CURVE, phase2_size, bytes(out), params)
+        assert got == expect, f"device prepare differs at phase2_size={phase2_size}"
