@@ -156,6 +156,35 @@ class GroupFFT:
                 }
             )
 
+        def butterfly_bounded(even: PointVec, odd: PointVec, tw):
+            """One butterfly's compute (t = tw*odd; hi = even+t;
+            lo = even-t), sliced so no single group-op trace spans more
+            than M lanes — at n=2^16 the full-width stage ADDS crashed the
+            v5e worker even with the scalar-muls already sliced."""
+            import jax.numpy as jnp
+
+            B = even["x"].shape[-1]
+            his, los = [], []
+            for lo_i in range(0, B, M):
+                ev = PointVec(
+                    {k: v[..., lo_i : lo_i + M] for k, v in even.items()}
+                )
+                od = PointVec(
+                    {k: v[..., lo_i : lo_i + M] for k, v in odd.items()}
+                )
+                t = ops.scalar_mul(od, tw[..., lo_i : lo_i + M])
+                his.append(dict(ops.add(ev, t)))
+                los.append(dict(ops.add(ev, ops.neg(t))))
+            if len(his) == 1:
+                return PointVec(his[0]), PointVec(los[0])
+            cat = lambda parts: PointVec(
+                {
+                    k: jnp.concatenate([p[k] for p in parts], axis=-1)
+                    for k in ("x", "y", "z")
+                }
+            )
+            return cat(his), cat(los)
+
         def take_batch(arr, idx):
             import jax.numpy as jnp
 
@@ -172,9 +201,7 @@ class GroupFFT:
                 tw, ei, oi, pm = st
                 even = PointVec(jtu.tree_map(lambda a: take_batch(a, ei), dict(x)))
                 odd = PointVec(jtu.tree_map(lambda a: take_batch(a, oi), dict(x)))
-                t = sm_bounded(odd, tw)
-                hi = ops.add(even, t)
-                lo = ops.add(even, ops.neg(t))
+                hi, lo = butterfly_bounded(even, odd, tw)
                 cat = jtu.tree_map(
                     lambda a, b: take_batch(jnp.concatenate([a, b], axis=-1), pm),
                     dict(hi),
@@ -187,8 +214,97 @@ class GroupFFT:
 
         return f
 
+    # Above this size the whole-FFT program (lax.scan over stages) crashes
+    # the v5e worker even with every butterfly group-op sliced to
+    # MAX_SM_LANES (measured 2026-08-22: G2 OK at 2^16, worker crash at
+    # 2^17). The staged path runs the SAME stage body as one compiled
+    # program per stage (stage-uniform shapes -> a single compile reused
+    # log2(n) times, arrays device-resident between calls) — each program
+    # then owns only one stage's buffers.
+    STAGE_SCAN_MAX = 1 << 16
+
+    def _staged_call(self, inverse: bool):
+        """Host-level stage loop twin of _traceable for n > STAGE_SCAN_MAX."""
+        key = ("staged", inverse)
+        if key not in self._jit_cache:
+            ops = self.ops
+            M = self.MAX_SM_LANES
+            import jax.numpy as jnp
+            import jax.tree_util as jtu
+
+            def take_batch(arr, idx):
+                return jnp.take(arr, idx, axis=arr.ndim - 1)
+
+            def sm(pts: PointVec, tw):
+                return ops.scalar_mul(pts, tw)
+
+            def stage_body(x, tw, ei, oi, pm):
+                even = PointVec(jtu.tree_map(lambda a: take_batch(a, ei), dict(x)))
+                odd = PointVec(jtu.tree_map(lambda a: take_batch(a, oi), dict(x)))
+                B = even["x"].shape[-1]
+                his, los = [], []
+                for lo_i in range(0, B, M):
+                    ev = PointVec({k: v[..., lo_i : lo_i + M] for k, v in even.items()})
+                    od = PointVec({k: v[..., lo_i : lo_i + M] for k, v in odd.items()})
+                    t = sm(od, tw[..., lo_i : lo_i + M])
+                    his.append(dict(ops.add(ev, t)))
+                    los.append(dict(ops.add(ev, ops.neg(t))))
+                cat = {
+                    k: jnp.concatenate(
+                        [p[k] for p in his] + [p[k] for p in los], axis=-1
+                    )
+                    for k in ("x", "y", "z")
+                }
+                return PointVec(
+                    {k: take_batch(v, pm) for k, v in cat.items()}
+                )
+
+            def rev_body(x, rev):
+                return PointVec(
+                    jtu.tree_map(lambda a: take_batch(a, rev), dict(x))
+                )
+
+            def scale_body(x, scale_raw):
+                B = x["x"].shape[-1]
+                outs = [
+                    dict(
+                        sm(
+                            PointVec({k: v[..., lo : lo + M] for k, v in x.items()}),
+                            scale_raw[..., lo : lo + M],
+                        )
+                    )
+                    for lo in range(0, B, M)
+                ]
+                return PointVec(
+                    {
+                        k: jnp.concatenate([o[k] for o in outs], axis=-1)
+                        for k in ("x", "y", "z")
+                    }
+                )
+
+            stage_jit = jax.jit(stage_body)
+            rev_jit = jax.jit(rev_body)
+            scale_jit = jax.jit(scale_body)
+            tables = self._tables(inverse)[:6]
+            dev = {"v": None}
+
+            def call(p: PointVec) -> PointVec:
+                if dev["v"] is None:
+                    dev["v"] = jax.device_put(tables)
+                tw_arr, ev_idx, od_idx, perm, rev, scale_raw = dev["v"]
+                x = rev_jit(p, rev)
+                for s in range(tw_arr.shape[0]):
+                    x = stage_jit(x, tw_arr[s], ev_idx[s], od_idx[s], perm[s])
+                return scale_jit(x, scale_raw)
+
+            self._jit_cache[key] = call
+        return self._jit_cache[key]
+
     def _get(self, inverse: bool):
         if inverse not in self._jit_cache:
+            if self.n > self.STAGE_SCAN_MAX:
+                self._jit_cache[inverse] = self._staged_call(inverse)
+                return self._jit_cache[inverse]
             jf = jax.jit(self._traceable())
             tables = self._tables(inverse)[:6]
             dev = {"v": None}

@@ -84,3 +84,25 @@ def test_h_query_device():
         for i in range(m - 1)
     ]
     assert got == want
+
+
+def test_staged_fft_matches_scan_path(monkeypatch):
+    """The host-level staged stage-loop (used above STAGE_SCAN_MAX, where
+    the whole-FFT program crashes the TPU worker) is bit-identical to the
+    lax.scan path."""
+    from snark_setup_tpu.ntt.group_fft import GroupFFT
+    from snark_setup_tpu.ntt.domain import Radix2Domain
+    from snark_setup_tpu.ops.curve_jax import curve_ops
+
+    ops = curve_ops("bls12_377", "g1")
+    n = 16
+    hc = ops.host_curve
+    pts = ops.from_affine_host([hc.mul(hc.generator, 3 + i) for i in range(n)])
+
+    scan_fft = GroupFFT(ops, Radix2Domain("bls12_377", n))
+    expect = ops.to_affine_host(scan_fft.ifft(pts))
+
+    monkeypatch.setattr(GroupFFT, "STAGE_SCAN_MAX", 8)
+    staged_fft = GroupFFT(ops, Radix2Domain("bls12_377", n))
+    got = ops.to_affine_host(staged_fft.ifft(pts))
+    assert got == expect
